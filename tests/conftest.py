@@ -1,0 +1,29 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding is validated on host-platform fake devices
+(XLA_FLAGS=--xla_force_host_platform_device_count), the JAX-native way to
+test DP/TP collectives without a TPU pod. Must run before jax imports.
+"""
+
+import os
+import sys
+
+# Force CPU unconditionally: the host env presets JAX_PLATFORMS=axon (TPU),
+# and TPU bf16 matmuls would break f32 parity tolerances. jax may already be
+# imported (sitecustomize), but backends initialize lazily, so this still
+# takes effect as long as no computation has run yet.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def reference_available():
+    return os.path.isdir(REFERENCE_ROOT)

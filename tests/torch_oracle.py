@@ -1,0 +1,275 @@
+"""Torch golden-value oracle, run in a SUBPROCESS.
+
+torch and jax cannot coexist in one process in this environment (OpenMP
+runtime conflict causes multi-minute hangs), so every torch-vs-jax parity
+test shells out to this script: it computes reference outputs with torch
+(and, where relevant, with the reference implementation imported from
+/root/reference as a behavioral oracle) and writes them to an .npz file the
+jax-side test then loads.
+
+Usage: python tests/torch_oracle.py <job> <in.npz> <out.npz>
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+
+REFERENCE_ROOT = os.environ.get("TTS_REFERENCE_ROOT", "/root/reference")
+
+
+def _stub_missing_modules():
+    """Stub optional native deps so reference *model* code imports cleanly.
+
+    Only modules irrelevant to the tensors under test are stubbed (pycwt is
+    used offline-only; the in-graph inverse CWT is pure torch).
+    """
+    for name in ("pycwt",):
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            mod.MexicanHat = object
+            mod.cwt = None
+            sys.modules[name] = mod
+
+
+def _load_reference():
+    _stub_missing_modules()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+
+
+def _case_ids(data):
+    return sorted({k[: -len("_x")] for k in data.files if k.endswith("_x")})
+
+
+def job_conv1d(data):
+    import torch
+
+    out = {}
+    for key in _case_ids(data):
+        x, w, b, stride, pad, dil, groups = [
+            data[f"{key}_{f}"] for f in
+            ("x", "w", "b", "stride", "pad", "dil", "groups")]
+        y = torch.nn.functional.conv1d(
+            torch.from_numpy(x), torch.from_numpy(w),
+            torch.from_numpy(b) if b.size else None,
+            stride=int(stride), padding=int(pad), dilation=int(dil),
+            groups=int(groups))
+        out[key] = y.numpy()
+    return out
+
+
+def job_conv_transpose1d(data):
+    import torch
+
+    out = {}
+    for key in _case_ids(data):
+        x, w, b, stride, pad = [
+            data[f"{key}_{f}"] for f in ("x", "w", "b", "stride", "pad")]
+        y = torch.nn.functional.conv_transpose1d(
+            torch.from_numpy(x), torch.from_numpy(w),
+            torch.from_numpy(b) if b.size else None,
+            stride=int(stride), padding=int(pad))
+        out[key] = y.numpy()
+    return out
+
+
+def job_adaptive_pool(data):
+    import torch
+
+    out = {}
+    for key in _case_ids(data):
+        x = data[f"{key}_x"]
+        size = int(data[f"{key}_size"])
+        y = torch.nn.functional.adaptive_avg_pool1d(torch.from_numpy(x), size)
+        out[key] = y.numpy()
+    return out
+
+
+def job_reference_fs2(data):
+    """Run the reference FastSpeech2 (random-initialized, seeded) forward and
+    dump both the torch checkpoint-layout state dict and the outputs."""
+    import torch
+
+    _load_reference()
+    from fs_two.model import FastSpeech2
+
+    torch.manual_seed(int(data["seed"]))
+
+    preprocess_config = {
+        "path": {"preprocessed_path": str(data["stats_dir"])},
+        "preprocessing": {
+            "pitch": {"feature": "phoneme_level"},
+            "energy": {"feature": "phoneme_level"},
+            "mel": {"n_mel_channels": 80},
+        },
+    }
+
+    class MC(dict):
+        # reference accesses model_config both as dict and attribute
+        # (modules.py:25 `model_config.use_cwt`)
+        __getattr__ = dict.__getitem__
+
+    model_config = MC({
+        "transformer": {
+            "encoder_layer": int(data["encoder_layer"]),
+            "encoder_head": 2,
+            "encoder_hidden": int(data["hidden"]),
+            "variance_hidden": int(data["hidden"]),
+            "decoder_layer": int(data["decoder_layer"]),
+            "decoder_head": 2,
+            "conv_filter_size": int(data["filter"]),
+            "conv_kernel_size": [9, 1],
+            "encoder_dropout": 0.2,
+            "decoder_dropout": 0.2,
+            "decoder_hidden": int(data["hidden"]),
+        },
+        "variance_predictor": {
+            "filter_size": int(data["hidden"]),
+            "kernel_size": 3,
+            "dropout": 0.5,
+        },
+        "variance_embedding": {
+            "pitch_quantization": "linear",
+            "energy_quantization": "linear",
+            "n_bins": 256,
+        },
+        "use_cwt": bool(data["use_cwt"]),
+        "multi_speaker": True,
+        "max_seq_len": int(data["max_seq_len"]),
+    })
+
+    model = FastSpeech2(preprocess_config, model_config,
+                        n_speakers=int(data["n_speakers"]), device="cpu")
+    model.eval()
+
+    speakers = torch.from_numpy(data["speakers"]).long()
+    texts = torch.from_numpy(data["texts"]).long()
+    src_lens = torch.from_numpy(data["src_lens"]).long()
+
+    kwargs = {}
+    if "d_targets" in data.files:
+        kwargs = dict(
+            mels=torch.from_numpy(data["mels"]).float(),
+            mel_lens=torch.from_numpy(data["mel_lens"]).long(),
+            max_mel_len=int(data["mel_lens"].max()),
+            e_targets=torch.from_numpy(data["e_targets"]).float(),
+            d_targets=torch.from_numpy(data["d_targets"]).long(),
+            pitches_raw=torch.from_numpy(data["p_targets"]).float(),
+            pitches_cwt=torch.from_numpy(data["p_cwt"]).float(),
+        )
+    with torch.no_grad():
+        result = model(
+            speakers, texts, src_lens, int(data["texts"].shape[1]),
+            p_control=float(data["p_control"]),
+            e_control=float(data["e_control"]),
+            d_control=float(data["d_control"]),
+            **kwargs,
+        )
+    (mel, p_pred, e_pred, logd_pred, d_rounded, src_masks, mel_masks,
+     src_lens_o, mel_lens_o, postnet_mel, p_mean, p_std) = result
+
+    out = {
+        "mel": mel.numpy(),
+        "pitch_prediction": p_pred.numpy(),
+        "energy_prediction": e_pred.numpy(),
+        "log_duration_prediction": logd_pred.numpy(),
+        "duration_rounded": d_rounded.numpy().astype(np.float32),
+        "mel_lens": mel_lens_o.numpy().astype(np.int64),
+        "postnet_mel": postnet_mel.numpy(),
+    }
+    # Dump the state dict in reference .pth.tar layout for the converter.
+    state = model.state_dict()
+    for k, v in state.items():
+        out["state__" + k] = v.numpy()
+    return out
+
+
+def job_reference_hifigan(data):
+    """Run the reference HiFi-GAN generator (random weights) and dump both
+    its raw (weight-normed) state dict and its output waveform."""
+    import torch
+
+    _load_reference()
+    from hifi.models import Generator
+
+    torch.manual_seed(int(data["seed"]))
+
+    class AttrDict(dict):
+        __getattr__ = dict.__getitem__
+
+    h = AttrDict(
+        resblock=str(data["resblock"]),
+        upsample_rates=[int(v) for v in data["upsample_rates"]],
+        upsample_kernel_sizes=[int(v) for v in data["upsample_kernel_sizes"]],
+        upsample_initial_channel=int(data["upsample_initial_channel"]),
+        resblock_kernel_sizes=[int(v) for v in data["resblock_kernel_sizes"]],
+        resblock_dilation_sizes=[[int(x) for x in row]
+                                 for row in data["resblock_dilation_sizes"]],
+    )
+    model = Generator(h)
+    model.eval()
+    state = {k: v.numpy().copy() for k, v in model.state_dict().items()}
+
+    mel = torch.from_numpy(data["mel"]).float()  # (B, 80, T)
+    with torch.no_grad():
+        if bool(data.get("remove_weight_norm", True)):
+            model.remove_weight_norm()
+        wav = model(mel)
+    out = {"wav": wav.numpy()}
+    for k, v in state.items():
+        out["state__" + k] = v
+    return out
+
+
+def job_fs2_loss(data):
+    """Reference FastSpeech2Loss on synthetic tensors (fs_two/model/loss.py)."""
+    import torch
+
+    _load_reference()
+    from fs_two.model.loss import FastSpeech2Loss
+
+    class MC(dict):
+        __getattr__ = dict.__getitem__
+
+    preprocess_config = {
+        "preprocessing": {"pitch": {"feature": "phoneme_level"},
+                          "energy": {"feature": "phoneme_level"}}}
+    model_config = MC({"use_cwt": bool(data["use_cwt"])})
+    loss_fn = FastSpeech2Loss(preprocess_config, model_config)
+
+    t = lambda k: torch.from_numpy(data[k])
+    inputs = (None, None, t("speakers"), None, None, None,
+              t("mel_targets"), None, None, t("energy_targets"),
+              t("duration_targets"), t("pitch_raw_targets"),
+              t("pitch_cwt_targets"), t("pitch_mean"), t("pitch_std"))
+    predictions = (
+        t("mel_pred"), t("pitch_pred"), t("energy_pred"), t("logd_pred"),
+        None, t("src_masks") > 0, t("mel_masks") > 0, None, None,
+        t("postnet_pred"), t("pitch_mean_pred"), t("pitch_std_pred"))
+    losses = loss_fn(inputs, predictions)
+    names = ["total", "mel", "pitch", "energy", "duration", "mean", "std"]
+    return {n: np.asarray(l.item() if hasattr(l, "item") else l, np.float32)
+            for n, l in zip(names, losses)}
+
+
+JOBS = {
+    "conv1d": job_conv1d,
+    "conv_transpose1d": job_conv_transpose1d,
+    "adaptive_pool": job_adaptive_pool,
+    "reference_fs2": job_reference_fs2,
+    "reference_hifigan": job_reference_hifigan,
+    "fs2_loss": job_fs2_loss,
+}
+
+
+def main():
+    job, in_path, out_path = sys.argv[1], sys.argv[2], sys.argv[3]
+    data = np.load(in_path, allow_pickle=False)
+    out = JOBS[job](data)
+    np.savez(out_path, **out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,305 @@
+"""HiFi-GAN vocoder, TPU-native.
+
+Generator parity with the reference (hifi/models.py:146-201): conv_pre(k=7) ->
+4x [leaky_relu(0.1) -> transposed-conv upsample -> mean of 3 MRF ResBlock1
+stacks] -> leaky_relu (torch default slope 0.01 at models.py:197 — preserved)
+-> conv_post(k=7) -> tanh. Total upsampling 8*8*2*2 = 256 = hop length.
+
+Weight normalization is a *parametrization*, so inference models fold it at
+checkpoint-conversion time (g * v / ||v||, torch dim=0 semantics) and run
+plain convs; for GAN training the modules can keep (g, v) pairs
+(`weight_norm=True`), matching torch's optimization geometry.
+
+Discriminators (MPD periods 2/3/5/7/11 and MSD with avg-pool pyramid) and the
+GAN losses (hifi/models.py:213-407) are included, enabling the vocoder
+training the reference left unimplemented (hifiapi.py:32-33).
+
+Layout is (B, T, C): time on the sublane axis, channels on the lane axis, so
+every conv lowers onto the MXU.
+"""
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tts_king_tpu.config import VocoderModelConfig
+from tts_king_tpu.ops.convs import conv1d, conv_transpose1d
+
+LRELU_SLOPE = 0.1
+
+
+def _normal_init(std=0.01):
+    def init(key, shape, dtype=jnp.float32):
+        return std * jax.random.normal(key, shape, dtype)
+    return init
+
+
+class TorchConv1d(nn.Module):
+    """Conv1d with torch semantics and optional weight-norm parametrization."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    groups: int = 1
+    weight_norm: bool = False
+    init_std: float = 0.01
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        shape = (self.kernel_size, in_ch // self.groups, self.features)
+        if self.weight_norm:
+            v = self.param("v", _normal_init(self.init_std), shape)
+            g = self.param("g", nn.initializers.ones, (self.features,))
+            # torch weight_norm dim=0 on (out, in, k): per-out-channel norm.
+            norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1), keepdims=True) + 1e-12)
+            kernel = g[None, None, :] * v / norm
+        else:
+            kernel = self.param("kernel", _normal_init(self.init_std), shape)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return conv1d(x, kernel, bias, self.stride, self.padding,
+                      self.dilation, self.groups)
+
+
+class TorchConvTranspose1d(nn.Module):
+    """ConvTranspose1d with torch semantics; kernel stored as (k, Cin, Cout)."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    weight_norm: bool = False
+    init_std: float = 0.01
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        shape = (self.kernel_size, in_ch, self.features)
+        if self.weight_norm:
+            v = self.param("v", _normal_init(self.init_std), shape)
+            # torch weight_norm dim=0 on (in, out, k): per-*input*-channel norm.
+            g = self.param("g", nn.initializers.ones, (in_ch,))
+            norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 2), keepdims=True) + 1e-12)
+            kernel = g[None, :, None] * v / norm
+        else:
+            kernel = self.param("kernel", _normal_init(self.init_std), shape)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return conv_transpose1d(x, kernel, bias, self.stride, self.padding)
+
+
+def get_padding(kernel_size, dilation=1):
+    """Same-padding helper (hifi/vocoder/utils.py:33-36)."""
+    return (kernel_size * dilation - dilation) // 2
+
+
+class ResBlock1(nn.Module):
+    """MRF residual stack: 3x [lrelu->dilated conv->lrelu->conv(d=1)] + skip
+    (hifi/models.py:12-101)."""
+
+    channels: int
+    kernel_size: int = 3
+    dilation: Tuple[int, int, int] = (1, 3, 5)
+    weight_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        for i, d in enumerate(self.dilation):
+            xt = nn.leaky_relu(x, LRELU_SLOPE)
+            xt = TorchConv1d(self.channels, self.kernel_size,
+                             padding=get_padding(self.kernel_size, d),
+                             dilation=d, weight_norm=self.weight_norm,
+                             name=f"convs1_{i}")(xt)
+            xt = nn.leaky_relu(xt, LRELU_SLOPE)
+            xt = TorchConv1d(self.channels, self.kernel_size,
+                             padding=get_padding(self.kernel_size, 1),
+                             weight_norm=self.weight_norm,
+                             name=f"convs2_{i}")(xt)
+            x = xt + x
+        return x
+
+
+class ResBlock2(nn.Module):
+    """Lighter variant: 2x [lrelu->dilated conv] + skip (hifi/models.py:104-143)."""
+
+    channels: int
+    kernel_size: int = 3
+    dilation: Tuple[int, int] = (1, 3)
+    weight_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        for i, d in enumerate(self.dilation):
+            xt = nn.leaky_relu(x, LRELU_SLOPE)
+            xt = TorchConv1d(self.channels, self.kernel_size,
+                             padding=get_padding(self.kernel_size, d),
+                             dilation=d, weight_norm=self.weight_norm,
+                             name=f"convs_{i}")(xt)
+            x = xt + x
+        return x
+
+
+class Generator(nn.Module):
+    """Mel (B, T, 80) -> waveform (B, T*256) in [-1, 1]."""
+
+    config: VocoderModelConfig
+    weight_norm: bool = False
+
+    @nn.compact
+    def __call__(self, mel):
+        h = self.config
+        num_kernels = len(h.resblock_kernel_sizes)
+        resblock_cls = ResBlock1 if h.resblock == "1" else ResBlock2
+
+        x = TorchConv1d(h.upsample_initial_channel, 7, padding=3,
+                        weight_norm=self.weight_norm, name="conv_pre")(mel)
+        for i, (u, k) in enumerate(zip(h.upsample_rates, h.upsample_kernel_sizes)):
+            x = nn.leaky_relu(x, LRELU_SLOPE)
+            ch = h.upsample_initial_channel // (2 ** (i + 1))
+            x = TorchConvTranspose1d(ch, k, stride=u, padding=(k - u) // 2,
+                                     weight_norm=self.weight_norm,
+                                     name=f"ups_{i}")(x)
+            acc = None
+            for j, (rk, rd) in enumerate(zip(h.resblock_kernel_sizes,
+                                             h.resblock_dilation_sizes)):
+                out = resblock_cls(ch, rk, tuple(rd),
+                                   weight_norm=self.weight_norm,
+                                   name=f"resblocks_{i * num_kernels + j}")(x)
+                acc = out if acc is None else acc + out
+            x = acc / num_kernels
+        # torch default leaky_relu slope 0.01 here (hifi/models.py:197).
+        x = nn.leaky_relu(x, 0.01)
+        x = TorchConv1d(1, 7, padding=3, weight_norm=self.weight_norm,
+                        name="conv_post")(x)
+        return jnp.tanh(x)[..., 0]
+
+
+class DiscriminatorP(nn.Module):
+    """Period discriminator (hifi/models.py:213-282)."""
+
+    period: int
+    kernel_size: int = 5
+    stride: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, T) waveform.
+        B, T = x.shape
+        if T % self.period:
+            n_pad = self.period - (T % self.period)
+            x = jnp.pad(x, [(0, 0), (0, n_pad)], mode="reflect")
+            T = T + n_pad
+        x = x.reshape(B, T // self.period, self.period, 1)  # (B, T/p, p, 1)
+
+        fmap = []
+        channels = [32, 128, 512, 1024]
+        for i, ch in enumerate(channels):
+            x = nn.Conv(ch, (self.kernel_size, 1), strides=(self.stride, 1),
+                        padding=[(2, 2), (0, 0)], name=f"convs_{i}")(x)
+            x = nn.leaky_relu(x, LRELU_SLOPE)
+            fmap.append(x)
+        x = nn.Conv(1024, (self.kernel_size, 1), padding=[(2, 2), (0, 0)],
+                    name="convs_4")(x)
+        x = nn.leaky_relu(x, LRELU_SLOPE)
+        fmap.append(x)
+        x = nn.Conv(1, (3, 1), padding=[(1, 1), (0, 0)], name="conv_post")(x)
+        fmap.append(x)
+        return x.reshape(B, -1), fmap
+
+
+class DiscriminatorS(nn.Module):
+    """Scale discriminator (hifi/models.py:314-341)."""
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, T) waveform -> (B, T, 1).
+        h = x[:, :, None]
+        specs = [
+            (128, 15, 1, 1, 7), (128, 41, 2, 4, 20), (256, 41, 2, 16, 20),
+            (512, 41, 4, 16, 20), (1024, 41, 4, 16, 20), (1024, 41, 1, 16, 20),
+            (1024, 5, 1, 1, 2),
+        ]
+        fmap = []
+        for i, (ch, k, s, g, p) in enumerate(specs):
+            h = nn.Conv(ch, (k,), strides=(s,), padding=[(p, p)],
+                        feature_group_count=g, name=f"convs_{i}")(h)
+            h = nn.leaky_relu(h, LRELU_SLOPE)
+            fmap.append(h)
+        h = nn.Conv(1, (3,), padding=[(1, 1)], name="conv_post")(h)
+        fmap.append(h)
+        return h.reshape(h.shape[0], -1), fmap
+
+
+class MultiPeriodDiscriminator(nn.Module):
+    periods: Sequence[int] = (2, 3, 5, 7, 11)
+
+    @nn.compact
+    def __call__(self, y, y_hat):
+        rs, gs, fr, fg = [], [], [], []
+        for p in self.periods:
+            d = DiscriminatorP(p, name=f"disc_p{p}")
+            r, fmap_r = d(y)
+            g, fmap_g = d(y_hat)
+            rs.append(r); fr.append(fmap_r); gs.append(g); fg.append(fmap_g)
+        return rs, gs, fr, fg
+
+
+class MultiScaleDiscriminator(nn.Module):
+    n_scales: int = 3
+
+    @nn.compact
+    def __call__(self, y, y_hat):
+        rs, gs, fr, fg = [], [], [], []
+        for i in range(self.n_scales):
+            if i:
+                y = _avg_pool1d(y, 4, 2, 2)
+                y_hat = _avg_pool1d(y_hat, 4, 2, 2)
+            d = DiscriminatorS(name=f"disc_s{i}")
+            r, fmap_r = d(y)
+            g, fmap_g = d(y_hat)
+            rs.append(r); fr.append(fmap_r); gs.append(g); fg.append(fmap_g)
+        return rs, gs, fr, fg
+
+
+def _avg_pool1d(x, kernel, stride, padding):
+    """torch AvgPool1d(count_include_pad=True) over (B, T)."""
+    xp = jnp.pad(x, [(0, 0), (padding, padding)])
+    n = 1 + (xp.shape[1] - kernel) // stride
+    idx = jnp.arange(n)[:, None] * stride + jnp.arange(kernel)[None, :]
+    return jnp.mean(xp[:, idx], axis=-1)
+
+
+def feature_loss(fmap_r, fmap_g):
+    """L1 feature-matching loss x2 (hifi/models.py:377-383)."""
+    loss = 0.0
+    for dr, dg in zip(fmap_r, fmap_g):
+        for rl, gl in zip(dr, dg):
+            loss += jnp.mean(jnp.abs(rl - gl))
+    return loss * 2.0
+
+
+def discriminator_loss(disc_real, disc_gen):
+    """LSGAN discriminator loss (hifi/models.py:386-397)."""
+    loss = 0.0
+    r_losses, g_losses = [], []
+    for dr, dg in zip(disc_real, disc_gen):
+        r = jnp.mean((1.0 - dr) ** 2)
+        g = jnp.mean(dg ** 2)
+        loss += r + g
+        r_losses.append(r)
+        g_losses.append(g)
+    return loss, r_losses, g_losses
+
+
+def generator_loss(disc_outputs):
+    """LSGAN generator loss (hifi/models.py:400-407)."""
+    loss = 0.0
+    gen_losses = []
+    for dg in disc_outputs:
+        l = jnp.mean((1.0 - dg) ** 2)
+        gen_losses.append(l)
+        loss += l
+    return loss, gen_losses
