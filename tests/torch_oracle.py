@@ -25,11 +25,13 @@ def _stub_missing_modules():
     Only modules irrelevant to the tensors under test are stubbed (pycwt is
     used offline-only; the in-graph inverse CWT is pure torch).
     """
-    for name in ("pycwt",):
+    for name in ("pycwt", "unidecode", "inflect"):
         if name not in sys.modules:
             mod = types.ModuleType(name)
             mod.MexicanHat = object
             mod.cwt = None
+            mod.unidecode = lambda s: s
+            mod.engine = lambda: None
             sys.modules[name] = mod
 
 
@@ -214,7 +216,7 @@ def job_reference_hifigan(data):
 
     mel = torch.from_numpy(data["mel"]).float()  # (B, 80, T)
     with torch.no_grad():
-        if bool(data.get("remove_weight_norm", True)):
+        if "skip_remove_weight_norm" not in data.files:
             model.remove_weight_norm()
         wav = model(mel)
     out = {"wav": wav.numpy()}

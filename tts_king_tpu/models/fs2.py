@@ -316,8 +316,14 @@ class FastSpeech2(nn.Module):
         )(va["x"], va["mel_mask"], deterministic, train)
 
         mel = nn.Dense(self.n_mel_channels, name="mel_linear")(decoded)
+        # Masked postnet: every stage sees zeros past mel_len, making the
+        # output bit-identical to running the stack at each item's true
+        # length. (The reference instead runs at the dynamic batch max
+        # length, leaking shorter items' mel-bias padding into their last
+        # ~10 frames — a batch-composition-dependent quirk; this masked form
+        # is batch-invariant and exact for single-utterance inference.)
         postnet_mel = PostNet(self.n_mel_channels, name="postnet")(
-            mel, train=train) + mel
+            mel, train=train, pad_mask=mel_masks_out) + mel
 
         return {
             "mel": mel,

@@ -128,8 +128,16 @@ class PostNet(nn.Module):
     n_convolutions: int = 5
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, pad_mask=None):
+        """pad_mask (B, T) True=pad: zeroing activations after every stage
+        makes each conv see zeros past mel_len — bit-identical to running
+        the stack at that item's true length (what the reference does with
+        its dynamic batch max length), independent of batch composition."""
         pad = [((self.kernel_size - 1) // 2,) * 2]
+        not_pad = None
+        if pad_mask is not None:
+            not_pad = (~pad_mask)[:, :, None].astype(x.dtype)
+            x = x * not_pad
         for i in range(self.n_convolutions):
             is_last = i == self.n_convolutions - 1
             feats = self.n_mel_channels if is_last else self.embedding_dim
@@ -140,6 +148,8 @@ class PostNet(nn.Module):
             if not is_last:
                 x = jnp.tanh(x)
             x = nn.Dropout(0.5)(x, deterministic=not train)
+            if not_pad is not None:
+                x = x * not_pad
         return x
 
 

@@ -53,6 +53,8 @@ def expand_values(values, durations, max_mel_len):
 def round_durations(log_duration_pred, d_control):
     """Inference duration rounding, bit-matching the reference:
     clamp(round((exp(logd) - 1)) * d_control, min=0)
-    (fs_two/model/modules.py:199-204)."""
+    (fs_two/model/modules.py:199-204). Returned as float — like the
+    reference's duration_rounded output — with int truncation happening
+    inside length_regulate (mirroring the int() in modules.py:244-245)."""
     d = jnp.round(jnp.exp(log_duration_pred) - 1.0) * d_control
-    return jnp.maximum(d, 0.0).astype(jnp.int32)
+    return jnp.maximum(d, 0.0)
