@@ -49,13 +49,15 @@ class Encoder(nn.Module):
     dropout: float = 0.2
     max_seq_len: int = 1000
     vocab_size: int = VOCAB_SIZE
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, src_seq, pad_mask, deterministic: bool = True,
                  train: bool = False):
         B, L = src_seq.shape
         d_k = self.d_model // self.n_head
-        emb = nn.Embed(self.vocab_size, self.d_model, name="src_word_emb")(src_seq)
+        emb = nn.Embed(self.vocab_size, self.d_model, dtype=self.dtype,
+                       name="src_word_emb")(src_seq)
         # padding_idx=0 semantics: pad token contributes nothing.
         emb = jnp.where((src_seq == 0)[:, :, None], 0.0, emb)
 
@@ -65,11 +67,11 @@ class Encoder(nn.Module):
             table = jnp.asarray(
                 sinusoid_position_table(self.max_seq_len + 1, self.d_model))
             pos = table[:L]
-        x = emb + pos[None, :, :]
+        x = emb + pos[None, :, :].astype(self.dtype)
 
         for i in range(self.n_layers):
             x = FFTBlock(self.d_model, self.n_head, d_k, d_k, self.d_inner,
-                         self.kernel_size, self.dropout,
+                         self.kernel_size, self.dropout, dtype=self.dtype,
                          name=f"layer_{i}")(x, pad_mask, deterministic)
         return x
 
@@ -85,6 +87,7 @@ class Decoder(nn.Module):
     kernel_size: tuple = (9, 1)
     dropout: float = 0.2
     max_seq_len: int = 1000
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, pad_mask, deterministic: bool = True,
@@ -101,11 +104,11 @@ class Decoder(nn.Module):
             table = jnp.asarray(
                 sinusoid_position_table(self.max_seq_len + 1, self.d_model))
             pos = table[:T]
-        x = x + pos[None, :, :]
+        x = x + pos[None, :, :].astype(self.dtype)
 
         for i in range(self.n_layers):
             x = FFTBlock(self.d_model, self.n_head, d_k, d_k, self.d_inner,
-                         self.kernel_size, self.dropout,
+                         self.kernel_size, self.dropout, dtype=self.dtype,
                          name=f"layer_{i}")(x, pad_mask, deterministic)
         return x, pad_mask
 
@@ -124,6 +127,7 @@ class VarianceAdaptor(nn.Module):
     energy_max: float = 1.0
     d_model: int = 256
     use_cwt: bool = False
+    dtype: Any = jnp.float32
 
     def _bins(self, lo, hi, quantization):
         if quantization == "log":
@@ -151,7 +155,7 @@ class VarianceAdaptor(nn.Module):
         # Duration predicted BEFORE the speaker embedding is added — a
         # reference quirk that changes outputs (modules.py:158-159).
         log_duration_prediction = VariancePredictor(
-            vp.filter_size, vp.kernel_size, vp.dropout,
+            vp.filter_size, vp.kernel_size, vp.dropout, dtype=self.dtype,
             name="duration_predictor")(x, src_mask, deterministic)
         x = x + speaker_embedding
 
@@ -162,9 +166,9 @@ class VarianceAdaptor(nn.Module):
             self._bins(self.energy_min, self.energy_max, self.energy_quantization),
             jnp.float32)
         pitch_embed_table = nn.Embed(self.n_bins, self.d_model,
-                                     name="pitch_embedding")
+                                     dtype=self.dtype, name="pitch_embedding")
         energy_embed_table = nn.Embed(self.n_bins, self.d_model,
-                                      name="energy_embedding")
+                                      dtype=self.dtype, name="energy_embedding")
 
         pitch_mean = pitch_std = None
         if self.use_cwt:
@@ -172,6 +176,7 @@ class VarianceAdaptor(nn.Module):
             # inverse-CWT reconstruction in-graph (modules.py:103-129).
             pitch_prediction = VariancePredictor(
                 vp.filter_size, vp.kernel_size, 0.1, output_size=11,
+                dtype=self.dtype,
                 name="pitch_predictor")(x, src_mask, deterministic)
             pitch_mean = CNNScalar(name="pitch_mean")(
                 jax.lax.stop_gradient(x), jax.lax.stop_gradient(pitch_prediction))
@@ -180,30 +185,30 @@ class VarianceAdaptor(nn.Module):
             pitch = inverse_batch_cwt(pitch_prediction)
             pitch = pitch * pitch_std + pitch_mean
             pitch_embedding = pitch_embed_table(
-                jnp.searchsorted(pitch_bins, pitch * p_control))
+                jnp.searchsorted(pitch_bins, (pitch * p_control).astype(jnp.float32)))
         else:
             pitch_prediction = VariancePredictor(
-                vp.filter_size, vp.kernel_size, vp.dropout,
+                vp.filter_size, vp.kernel_size, vp.dropout, dtype=self.dtype,
                 name="pitch_predictor")(x, src_mask, deterministic)
             if pitch_raw_target is not None:
                 pitch_embedding = pitch_embed_table(
-                    jnp.searchsorted(pitch_bins, pitch_raw_target))
+                    jnp.searchsorted(pitch_bins, pitch_raw_target.astype(jnp.float32)))
             else:
                 pitch_prediction = pitch_prediction * p_control
                 pitch_embedding = pitch_embed_table(
-                    jnp.searchsorted(pitch_bins, pitch_prediction))
+                    jnp.searchsorted(pitch_bins, pitch_prediction.astype(jnp.float32)))
         x = x + pitch_embedding
 
         energy_prediction = VariancePredictor(
-            vp.filter_size, vp.kernel_size, vp.dropout,
+            vp.filter_size, vp.kernel_size, vp.dropout, dtype=self.dtype,
             name="energy_predictor")(x, src_mask, deterministic)
         if energy_target is not None:
             energy_embedding = energy_embed_table(
-                jnp.searchsorted(energy_bins, energy_target))
+                jnp.searchsorted(energy_bins, energy_target.astype(jnp.float32)))
         else:
             energy_prediction = energy_prediction * e_control
             energy_embedding = energy_embed_table(
-                jnp.searchsorted(energy_bins, energy_prediction))
+                jnp.searchsorted(energy_bins, energy_prediction.astype(jnp.float32)))
         x = x + energy_embedding
 
         if duration_target is not None:
@@ -244,6 +249,7 @@ class FastSpeech2(nn.Module):
     energy_min: float = -1.0
     energy_max: float = 1.0
     n_mel_channels: int = 80
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -277,12 +283,12 @@ class FastSpeech2(nn.Module):
             n_layers=tc.encoder_layer, n_head=tc.encoder_head,
             d_model=tc.encoder_hidden, d_inner=tc.conv_filter_size,
             kernel_size=tuple(tc.conv_kernel_size), dropout=tc.encoder_dropout,
-            max_seq_len=mc.max_seq_len, name="encoder",
+            max_seq_len=mc.max_seq_len, dtype=self.dtype, name="encoder",
         )(texts, src_masks, deterministic, train)
 
         if mc.multi_speaker:
             spk = nn.Embed(self.n_speakers, tc.encoder_hidden,
-                           name="speaker_emb")(speakers)
+                           dtype=self.dtype, name="speaker_emb")(speakers)
             speaker_embedding = spk[:, None, :]
         else:
             speaker_embedding = jnp.zeros(
@@ -295,7 +301,7 @@ class FastSpeech2(nn.Module):
             energy_quantization=mc.variance_embedding.energy_quantization,
             pitch_min=self.pitch_min, pitch_max=self.pitch_max,
             energy_min=self.energy_min, energy_max=self.energy_max,
-            d_model=tc.encoder_hidden, use_cwt=mc.use_cwt,
+            d_model=tc.encoder_hidden, use_cwt=mc.use_cwt, dtype=self.dtype,
             name="variance_adaptor",
         )(
             output, speaker_embedding, src_masks, max_mel_len,
@@ -312,17 +318,19 @@ class FastSpeech2(nn.Module):
             n_layers=tc.decoder_layer, n_head=tc.decoder_head,
             d_model=tc.decoder_hidden, d_inner=tc.conv_filter_size,
             kernel_size=tuple(tc.conv_kernel_size), dropout=tc.decoder_dropout,
-            max_seq_len=mc.max_seq_len, name="decoder",
+            max_seq_len=mc.max_seq_len, dtype=self.dtype, name="decoder",
         )(va["x"], va["mel_mask"], deterministic, train)
 
-        mel = nn.Dense(self.n_mel_channels, name="mel_linear")(decoded)
+        mel = nn.Dense(self.n_mel_channels, dtype=self.dtype,
+                       name="mel_linear")(decoded)
         # Masked postnet: every stage sees zeros past mel_len, making the
         # output bit-identical to running the stack at each item's true
         # length. (The reference instead runs at the dynamic batch max
         # length, leaking shorter items' mel-bias padding into their last
         # ~10 frames — a batch-composition-dependent quirk; this masked form
         # is batch-invariant and exact for single-utterance inference.)
-        postnet_mel = PostNet(self.n_mel_channels, name="postnet")(
+        postnet_mel = PostNet(self.n_mel_channels, dtype=self.dtype,
+                              name="postnet")(
             mel, train=train, pad_mask=mel_masks_out) + mel
 
         return {
@@ -342,7 +350,8 @@ class FastSpeech2(nn.Module):
 
 
 def build_fastspeech2(model_config: ModelConfig, stats: Dict[str, Any],
-                      n_speakers: int, n_mel_channels: int = 80) -> FastSpeech2:
+                      n_speakers: int, n_mel_channels: int = 80,
+                      dtype: Any = jnp.float32) -> FastSpeech2:
     """Construct a FastSpeech2 with bucketize bins from a stats.json dict
     (pitch/energy -> [min, max, mean, std]), mirroring modules.py:55-90."""
     pitch_min, pitch_max = stats["pitch"][:2]
@@ -352,5 +361,5 @@ def build_fastspeech2(model_config: ModelConfig, stats: Dict[str, Any],
         n_speakers=n_speakers,
         pitch_min=float(pitch_min), pitch_max=float(pitch_max),
         energy_min=float(energy_min), energy_max=float(energy_max),
-        n_mel_channels=n_mel_channels,
+        n_mel_channels=n_mel_channels, dtype=dtype,
     )

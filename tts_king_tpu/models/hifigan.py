@@ -18,7 +18,7 @@ Layout is (B, T, C): time on the sublane axis, channels on the lane axis, so
 every conv lowers onto the MXU.
 """
 
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -47,6 +47,7 @@ class TorchConv1d(nn.Module):
     groups: int = 1
     weight_norm: bool = False
     init_std: float = 0.01
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -61,7 +62,8 @@ class TorchConv1d(nn.Module):
         else:
             kernel = self.param("kernel", _normal_init(self.init_std), shape)
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        return conv1d(x, kernel, bias, self.stride, self.padding,
+        return conv1d(x.astype(self.dtype), kernel.astype(self.dtype),
+                      bias.astype(self.dtype), self.stride, self.padding,
                       self.dilation, self.groups)
 
 
@@ -74,6 +76,7 @@ class TorchConvTranspose1d(nn.Module):
     padding: int = 0
     weight_norm: bool = False
     init_std: float = 0.01
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -88,7 +91,9 @@ class TorchConvTranspose1d(nn.Module):
         else:
             kernel = self.param("kernel", _normal_init(self.init_std), shape)
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        return conv_transpose1d(x, kernel, bias, self.stride, self.padding)
+        return conv_transpose1d(x.astype(self.dtype), kernel.astype(self.dtype),
+                                bias.astype(self.dtype), self.stride,
+                                self.padding)
 
 
 def get_padding(kernel_size, dilation=1):
@@ -104,6 +109,7 @@ class ResBlock1(nn.Module):
     kernel_size: int = 3
     dilation: Tuple[int, int, int] = (1, 3, 5)
     weight_norm: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -112,12 +118,12 @@ class ResBlock1(nn.Module):
             xt = TorchConv1d(self.channels, self.kernel_size,
                              padding=get_padding(self.kernel_size, d),
                              dilation=d, weight_norm=self.weight_norm,
-                             name=f"convs1_{i}")(xt)
+                             dtype=self.dtype, name=f"convs1_{i}")(xt)
             xt = nn.leaky_relu(xt, LRELU_SLOPE)
             xt = TorchConv1d(self.channels, self.kernel_size,
                              padding=get_padding(self.kernel_size, 1),
                              weight_norm=self.weight_norm,
-                             name=f"convs2_{i}")(xt)
+                             dtype=self.dtype, name=f"convs2_{i}")(xt)
             x = xt + x
         return x
 
@@ -129,6 +135,7 @@ class ResBlock2(nn.Module):
     kernel_size: int = 3
     dilation: Tuple[int, int] = (1, 3)
     weight_norm: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -137,7 +144,7 @@ class ResBlock2(nn.Module):
             xt = TorchConv1d(self.channels, self.kernel_size,
                              padding=get_padding(self.kernel_size, d),
                              dilation=d, weight_norm=self.weight_norm,
-                             name=f"convs_{i}")(xt)
+                             dtype=self.dtype, name=f"convs_{i}")(xt)
             x = xt + x
         return x
 
@@ -147,6 +154,7 @@ class Generator(nn.Module):
 
     config: VocoderModelConfig
     weight_norm: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, mel):
@@ -155,26 +163,28 @@ class Generator(nn.Module):
         resblock_cls = ResBlock1 if h.resblock == "1" else ResBlock2
 
         x = TorchConv1d(h.upsample_initial_channel, 7, padding=3,
-                        weight_norm=self.weight_norm, name="conv_pre")(mel)
+                        weight_norm=self.weight_norm, dtype=self.dtype,
+                        name="conv_pre")(mel.astype(self.dtype))
         for i, (u, k) in enumerate(zip(h.upsample_rates, h.upsample_kernel_sizes)):
             x = nn.leaky_relu(x, LRELU_SLOPE)
             ch = h.upsample_initial_channel // (2 ** (i + 1))
             x = TorchConvTranspose1d(ch, k, stride=u, padding=(k - u) // 2,
                                      weight_norm=self.weight_norm,
-                                     name=f"ups_{i}")(x)
+                                     dtype=self.dtype, name=f"ups_{i}")(x)
             acc = None
             for j, (rk, rd) in enumerate(zip(h.resblock_kernel_sizes,
                                              h.resblock_dilation_sizes)):
                 out = resblock_cls(ch, rk, tuple(rd),
                                    weight_norm=self.weight_norm,
+                                   dtype=self.dtype,
                                    name=f"resblocks_{i * num_kernels + j}")(x)
                 acc = out if acc is None else acc + out
             x = acc / num_kernels
         # torch default leaky_relu slope 0.01 here (hifi/models.py:197).
         x = nn.leaky_relu(x, 0.01)
         x = TorchConv1d(1, 7, padding=3, weight_norm=self.weight_norm,
-                        name="conv_post")(x)
-        return jnp.tanh(x)[..., 0]
+                        dtype=self.dtype, name="conv_post")(x)
+        return jnp.tanh(x.astype(jnp.float32))[..., 0]
 
 
 class DiscriminatorP(nn.Module):

@@ -16,7 +16,7 @@ axis, so every contraction lands on the MXU and XLA fuses the elementwise
 tails into the matmuls.
 """
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -48,14 +48,15 @@ class MultiHeadAttention(nn.Module):
     d_k: int
     d_v: int
     dropout: float = 0.1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, key_pad_mask, deterministic: bool = True):
         B, T, _ = x.shape
         residual = x
-        q = nn.Dense(self.n_head * self.d_k, name="w_qs")(x)
-        k = nn.Dense(self.n_head * self.d_k, name="w_ks")(x)
-        v = nn.Dense(self.n_head * self.d_v, name="w_vs")(x)
+        q = nn.Dense(self.n_head * self.d_k, dtype=self.dtype, name="w_qs")(x)
+        k = nn.Dense(self.n_head * self.d_k, dtype=self.dtype, name="w_ks")(x)
+        v = nn.Dense(self.n_head * self.d_v, dtype=self.dtype, name="w_vs")(x)
         q = q.reshape(B, T, self.n_head, self.d_k)
         k = k.reshape(B, T, self.n_head, self.d_k)
         v = v.reshape(B, T, self.n_head, self.d_v)
@@ -65,12 +66,14 @@ class MultiHeadAttention(nn.Module):
         # Key-side padding mask, broadcast over heads and queries — the
         # reference masks the same way (Models.py:85, Modules.py:18-19).
         attn = jnp.where(key_pad_mask[:, None, None, :], NEG_INF, attn)
-        attn = jax.nn.softmax(attn, axis=-1)
+        # Softmax in f32 for stability under bf16 compute.
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
         out = out.reshape(B, T, self.n_head * self.d_v)
-        out = nn.Dense(self.d_model, name="fc")(out)
+        out = nn.Dense(self.d_model, dtype=self.dtype, name="fc")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=LN_EPS, name="layer_norm")(out + residual)
+        return nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
+                            name="layer_norm")(out + residual)
 
 
 class PositionwiseFeedForward(nn.Module):
@@ -81,16 +84,20 @@ class PositionwiseFeedForward(nn.Module):
     d_hid: int
     kernel_size: Tuple[int, int] = (9, 1)
     dropout: float = 0.1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         residual = x
         k1, k2 = self.kernel_size
-        h = nn.Conv(self.d_hid, (k1,), padding=[((k1 - 1) // 2,) * 2], name="w_1")(x)
+        h = nn.Conv(self.d_hid, (k1,), padding=[((k1 - 1) // 2,) * 2],
+                    dtype=self.dtype, name="w_1")(x)
         h = jax.nn.relu(h)
-        h = nn.Conv(self.d_in, (k2,), padding=[((k2 - 1) // 2,) * 2], name="w_2")(h)
+        h = nn.Conv(self.d_in, (k2,), padding=[((k2 - 1) // 2,) * 2],
+                    dtype=self.dtype, name="w_2")(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=LN_EPS, name="layer_norm")(h + residual)
+        return nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
+                            name="layer_norm")(h + residual)
 
 
 class FFTBlock(nn.Module):
@@ -103,18 +110,19 @@ class FFTBlock(nn.Module):
     d_inner: int
     kernel_size: Tuple[int, int]
     dropout: float = 0.1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, pad_mask, deterministic: bool = True):
         not_pad = (~pad_mask)[:, :, None].astype(x.dtype)
         x = MultiHeadAttention(
             self.n_head, self.d_model, self.d_k, self.d_v, self.dropout,
-            name="slf_attn",
+            dtype=self.dtype, name="slf_attn",
         )(x, pad_mask, deterministic)
         x = x * not_pad
         x = PositionwiseFeedForward(
             self.d_model, self.d_inner, self.kernel_size, self.dropout,
-            name="pos_ffn",
+            dtype=self.dtype, name="pos_ffn",
         )(x, deterministic)
         return x * not_pad
 
@@ -126,6 +134,7 @@ class PostNet(nn.Module):
     embedding_dim: int = 512
     kernel_size: int = 5
     n_convolutions: int = 5
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False, pad_mask=None):
@@ -142,9 +151,10 @@ class PostNet(nn.Module):
             is_last = i == self.n_convolutions - 1
             feats = self.n_mel_channels if is_last else self.embedding_dim
             x = nn.Conv(feats, (self.kernel_size,), padding=pad,
-                        name=f"conv_{i}")(x)
+                        dtype=self.dtype, name=f"conv_{i}")(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=LN_EPS, name=f"bn_{i}")(x)
+                             epsilon=LN_EPS, dtype=self.dtype,
+                             name=f"bn_{i}")(x)
             if not is_last:
                 x = jnp.tanh(x)
             x = nn.Dropout(0.5)(x, deterministic=not train)
@@ -160,22 +170,27 @@ class VariancePredictor(nn.Module):
     kernel_size: int = 3
     dropout: float = 0.5
     output_size: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, pad_mask, deterministic: bool = True):
         k = self.kernel_size
         h = nn.Conv(self.filter_size, (k,), padding=[((k - 1) // 2,) * 2],
-                    name="conv1d_1")(x)
+                    dtype=self.dtype, name="conv1d_1")(x)
         h = jax.nn.relu(h)
-        h = nn.LayerNorm(epsilon=LN_EPS, name="layer_norm_1")(h)
+        h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
+                         name="layer_norm_1")(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         # conv2 padding is hard-coded to 1 in the reference (modules.py:291);
         # identical to (k-1)//2 at the shipped k=3.
-        h = nn.Conv(self.filter_size, (k,), padding=[(1, 1)], name="conv1d_2")(h)
+        h = nn.Conv(self.filter_size, (k,), padding=[(1, 1)],
+                    dtype=self.dtype, name="conv1d_2")(h)
         h = jax.nn.relu(h)
-        h = nn.LayerNorm(epsilon=LN_EPS, name="layer_norm_2")(h)
+        h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype,
+                         name="layer_norm_2")(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        out = nn.Dense(self.output_size, name="linear_layer")(h)
+        out = nn.Dense(self.output_size, dtype=self.dtype,
+                       name="linear_layer")(h)
         if self.output_size == 1:
             out = out[..., 0]
             out = jnp.where(pad_mask, 0.0, out)
@@ -189,14 +204,15 @@ class CNNFlat(nn.Module):
     (fs_two/model/modules.py:358-370). (B, T, C) -> (B, reduce)."""
 
     reduce: int = 30
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         from tts_king_tpu.ops.convs import adaptive_avg_pool1d
 
-        h = nn.Conv(1, (1,), name="conv")(x)            # (B, T, 1)
-        h = adaptive_avg_pool1d(h, self.reduce)[..., 0]  # (B, reduce)
-        h = nn.LayerNorm(epsilon=LN_EPS, name="norm")(h)
+        h = nn.Conv(1, (1,), dtype=self.dtype, name="conv")(x)  # (B, T, 1)
+        h = adaptive_avg_pool1d(h, self.reduce)[..., 0]          # (B, reduce)
+        h = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm")(h)
         return jax.nn.relu(h)
 
 
@@ -205,10 +221,11 @@ class CNNScalar(nn.Module):
     (fs_two/model/modules.py:373-385). Predicts pitch mean/std in CWT mode."""
 
     reduce: int = 30
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x_one, x_two):
-        a = CNNFlat(self.reduce, name="flat_one")(x_one)
-        b = CNNFlat(self.reduce, name="flat_two")(x_two)
-        out = nn.Dense(1, name="linear")(a + b)
+        a = CNNFlat(self.reduce, dtype=self.dtype, name="flat_one")(x_one)
+        b = CNNFlat(self.reduce, dtype=self.dtype, name="flat_two")(x_two)
+        out = nn.Dense(1, dtype=self.dtype, name="linear")(a + b)
         return jax.nn.relu(out)

@@ -1,0 +1,258 @@
+"""End-to-end synthesis pipeline: text -> phonemes -> mel -> waveform.
+
+API parity with the reference stack (tts_king.py TTSKing, fsapi.py FSTWOapi,
+hifiapi.py HIFIapi) with a TPU-first execution model:
+  * every device computation is jit-compiled per (phoneme-bucket, mel-bucket)
+    shape, cached across calls — no retraces in steady state;
+  * phoneme lengths are padded up to power-of-two-ish buckets; the mel length
+    is estimated from the duration predictor's typical expansion and retried
+    with the next bucket if the prediction overflows (host-side, rare);
+  * weights load from either reference torch checkpoints (converted) or
+    native orbax checkpoints.
+"""
+
+import json
+import os
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tts_king_tpu.config import TTSConfig
+from tts_king_tpu.models.fs2 import build_fastspeech2
+from tts_king_tpu.models.hifigan import Generator
+
+MEL_BUCKETS = (128, 256, 512, 1000)
+# Typical frames-per-phoneme headroom used to pick the first mel bucket.
+_FRAMES_PER_PHONE_GUESS = 8.0
+
+
+def _bucket(n, buckets):
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+def _phone_bucket(n):
+    b = 16
+    while b < n:
+        b *= 2
+    return min(b, 1024)
+
+
+def load_speakers(path):
+    """speakers.json: {name: id} (fsapi.py:85-96)."""
+    with open(path) as f:
+        speakers = json.load(f)
+    return speakers, list(speakers.keys())
+
+
+def load_stats(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+class AcousticModel:
+    """FastSpeech2 inference driver (FSTWOapi equivalent, fsapi.py:9-82)."""
+
+    def __init__(self, config: TTSConfig, variables=None, n_speakers=None,
+                 stats=None, dtype=jnp.float32):
+        self.config = config
+        weights_path = config.acoustic.weights_path
+        model_dir = os.path.dirname(weights_path) if weights_path else None
+
+        speakers_json = (os.path.join(model_dir, "speakers.json")
+                         if model_dir else None)
+        if speakers_json and os.path.exists(speakers_json):
+            self.speakers_dict, self.speaker_names = load_speakers(speakers_json)
+        else:
+            n = n_speakers or 1
+            self.speakers_dict = {str(i): i for i in range(n)}
+            self.speaker_names = list(self.speakers_dict)
+
+        if stats is None:
+            stats_json = (os.path.join(model_dir, "stats.json")
+                          if model_dir else None)
+            if stats_json and os.path.exists(stats_json):
+                stats = load_stats(stats_json)
+            else:
+                stats = {"pitch": [-3.0, 9.5], "energy": [-1.5, 6.1]}
+
+        self.model = build_fastspeech2(
+            config.model, stats, n_speakers or len(self.speaker_names))
+
+        if variables is not None:
+            self.variables = variables
+        elif weights_path and os.path.exists(weights_path):
+            if os.path.isdir(weights_path):
+                from tts_king_tpu.checkpoint import restore_train_state
+
+                payload = restore_train_state(weights_path)
+                self.variables = {"params": payload["params"],
+                                  "batch_stats": payload["batch_stats"]}
+            else:
+                from tts_king_tpu.checkpoint import convert_fs2_checkpoint
+
+                tc = config.model.transformer
+                self.variables = convert_fs2_checkpoint(
+                    weights_path, tc.encoder_layer, tc.decoder_layer,
+                    config.model.use_cwt)
+        else:
+            self.variables = self.model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1,), jnp.int32),
+                jnp.zeros((1, 8), jnp.int32), jnp.ones((1,), jnp.int32),
+                train=False)
+        if dtype != jnp.float32:
+            self.variables = jax.tree.map(
+                lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating)
+                else x, self.variables)
+
+        self._apply = {}
+
+    def _compiled(self, max_mel_len):
+        if max_mel_len not in self._apply:
+            self._apply[max_mel_len] = jax.jit(
+                partial(self.model.apply, train=False),
+                static_argnames=("max_mel_len",))
+        return self._apply[max_mel_len]
+
+    def generate(self, phonemes, duration_control=1.0, pitch_control=1.0,
+                 energy_control=1.0, speaker_name=None, max_mel_len=None):
+        """phonemes: (B, L) int array -> dict with postnet mel + mel lens.
+
+        Pads L up to a bucket; picks/escalates the mel bucket until the
+        predicted durations fit (or the model's max_seq_len is reached).
+        """
+        phonemes = np.asarray(phonemes)
+        B, L = phonemes.shape
+        Lb = _phone_bucket(L)
+        texts = np.zeros((B, Lb), np.int32)
+        texts[:, :L] = phonemes
+        src_lens = np.full((B,), L, np.int32)
+
+        if speaker_name is None:
+            speaker_ids = np.zeros((B,), np.int32)
+        else:
+            if np.issubdtype(np.asarray(speaker_name).dtype, np.integer):
+                speaker_ids = np.full((B,), int(speaker_name), np.int32)
+            else:
+                if speaker_name not in self.speakers_dict:
+                    raise KeyError(
+                        f"Speaker {speaker_name!r} not in speakers.json")
+                speaker_ids = np.full(
+                    (B,), self.speakers_dict[speaker_name], np.int32)
+
+        max_cap = self.config.model.max_seq_len
+        if max_mel_len is not None:
+            buckets = [min(max_mel_len, max_cap)]
+        else:
+            guess = int(L * _FRAMES_PER_PHONE_GUESS * duration_control)
+            start = _bucket(guess, MEL_BUCKETS)
+            buckets = [b for b in MEL_BUCKETS if b >= start] or [max_cap]
+
+        out = None
+        for T in buckets:
+            fn = self._compiled(T)
+            out = fn(self.variables, speaker_ids, texts, src_lens,
+                     max_mel_len=T,
+                     p_control=pitch_control, e_control=energy_control,
+                     d_control=duration_control)
+            if int(jnp.max(out["mel_lens"])) <= T:
+                break
+        return out
+
+    def generate_mel(self, *args, **kwargs):
+        """Returns the postnet mel only, like FSTWOapi.generate (fsapi.py:82)."""
+        out = self.generate(*args, **kwargs)
+        return out["postnet_mel"], out["mel_lens"]
+
+
+class Vocoder:
+    """HiFi-GAN inference driver (HIFIapi equivalent, hifiapi.py:11-52)."""
+
+    def __init__(self, config: TTSConfig, variables=None, dtype=jnp.float32):
+        self.config = config
+        self.model = Generator(config.vocoder)
+        weights_path = config.vocoder.weights_path
+        if variables is not None:
+            self.variables = variables
+        elif weights_path and os.path.exists(weights_path):
+            from tts_king_tpu.checkpoint import convert_hifigan_checkpoint
+
+            self.variables = convert_hifigan_checkpoint(
+                weights_path,
+                n_ups=len(config.vocoder.upsample_rates),
+                n_kernels=len(config.vocoder.resblock_kernel_sizes))
+        else:
+            self.variables = self.model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 16, 80)))
+        if dtype != jnp.float32:
+            self.variables = jax.tree.map(
+                lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating)
+                else x, self.variables)
+        self._apply = jax.jit(self.model.apply)
+
+    def __call__(self, mel):
+        """mel: (B, T, 80) -> float waveform (B, T*256) in [-1, 1]."""
+        return self._apply(self.variables, jnp.asarray(mel))
+
+    def generate(self, mel, lengths=None):
+        """mel -> int16 numpy waveform scaled by max_wav_value
+        (hifiapi.py:40-52); optional per-item sample lengths for trimming."""
+        wav = np.asarray(self(mel), np.float32)
+        wav = (wav * self.config.vocoder.max_wav_value).astype(np.int16)
+        if lengths is not None:
+            return [w[:n] for w, n in zip(wav, np.asarray(lengths))]
+        return wav
+
+
+class TTSKing:
+    """Text -> speech orchestrator (tts_king.py:18-66 equivalent)."""
+
+    def __init__(self, config="./config.yaml", lexicon_path=None,
+                 dtype=jnp.float32):
+        if isinstance(config, str):
+            from tts_king_tpu.config import load_config
+
+            config = load_config(config)
+        self.cfg = config
+        self.tts = AcousticModel(config, dtype=dtype)
+        self.vocoder = Vocoder(config, dtype=dtype)
+        self.speakers = self.tts.speaker_names
+        self._lexicon = None
+        self._lexicon_path = lexicon_path or config.preprocess.lexicon_path
+
+    @property
+    def lexicon(self):
+        if self._lexicon is None and os.path.exists(self._lexicon_path):
+            from tts_king_tpu.text.g2p import read_lexicon
+
+            self._lexicon = read_lexicon(self._lexicon_path)
+        return self._lexicon
+
+    def text_preprocess(self, text):
+        from tts_king_tpu.text.g2p import preprocess_rus
+
+        return np.array([preprocess_rus(text, lexicon=self.lexicon)])
+
+    def generate_mel(self, text, duration_control=1.0, pitch_control=1.0,
+                     energy_control=1.0, speaker=0):
+        phonemes = self.text_preprocess(text)
+        mel, mel_lens = self.tts.generate_mel(
+            phonemes, duration_control, pitch_control, energy_control,
+            speaker_name=speaker)
+        return mel, mel_lens
+
+    def mel_to_wav(self, mel_spec, mel_lens=None):
+        hop = self.cfg.preprocess.stft.hop_length
+        lengths = (np.asarray(mel_lens) * hop) if mel_lens is not None else None
+        return self.vocoder.generate(mel_spec, lengths)
+
+    def speak(self, text, duration_control=1.0, pitch_control=1.0,
+              energy_control=1.0, speaker=0):
+        mel, mel_lens = self.generate_mel(
+            text, duration_control, pitch_control, energy_control, speaker)
+        return self.mel_to_wav(mel, mel_lens)
