@@ -67,6 +67,9 @@ def test_round_durations_matches_reference_formula():
     logd = np.log(np.array([[0.2, 1.0, 3.5, 6.0]], np.float32) + 1)
     got = np.array(round_durations(logd, 1.0))[0]
     assert got.tolist() == [0, 1, 4, 6]
+    # round_durations returns floats (the reference's duration_rounded output
+    # is round(exp(logd)-1)*c, unrounded after scaling); truncation to int
+    # happens inside length_regulate.
     got_ctrl = np.array(round_durations(logd, 1.5))[0]
-    # round first, then scale, then truncate: round(3.5)=4 -> 6.0 -> 6
-    assert got_ctrl.tolist() == [0, 1, 6, 9]
+    assert got_ctrl.tolist() == [0.0, 1.5, 6.0, 9.0]
+    assert got_ctrl.astype(np.int32).tolist() == [0, 1, 6, 9]
