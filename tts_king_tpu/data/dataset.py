@@ -1,0 +1,195 @@
+"""FastSpeech2 training dataset + batcher.
+
+Feature-file layout and metadata format are identical to the reference
+(fs_two/dataset.py): `train.txt` lines `name|speaker|{phones}|raw`, per-
+utterance .npy files `<spk>-{mel,energy,duration,pitch,cwt-pitch,pitch-mean,
+pitch-std}-<name>.npy`, `speakers.json` for the id map.
+
+TPU-first batching: the reference's sorted group batching (DataLoader batch =
+batch_size*group_size, collate sorts by text length desc and slices into
+group_size real batches, fs_two/dataset.py:206-225) maps 1:1 onto this
+framework's grad-accumulation superbatches of shape (acc, B, ...). Padded
+lengths are quantized up to fixed steps so the jitted train step compiles a
+small, bounded set of shapes.
+
+Grapheme masking (README's masked-training feature) is applied per epoch at
+batch assembly — fixing two reference bugs: the `> 1` gate that made ratio
+0.15 dead (fs_two/dataset.py:149) and the once-at-load application.
+"""
+
+import json
+import os
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from tts_king_tpu.config import PreprocessConfig, TrainConfig
+from tts_king_tpu.text import text_to_sequence
+from tts_king_tpu.text.symbols import MASK, SILENCES
+
+_SILENCE_NAMES = [s.replace("@", "") for s in SILENCES]
+
+L_STEP = 16    # phoneme-length padding quantum
+T_STEP = 64    # mel-length padding quantum
+
+
+def random_mask(phones: List[str], max_masks_per_sentence: float,
+                rng: np.random.RandomState) -> List[str]:
+    """Replace ~ratio of non-silence tokens with the mask symbol
+    (fs_two/dataset.py:14-29 semantics: sampled with replacement, silences
+    skipped)."""
+    n = len(phones)
+    masks_count = int(max_masks_per_sentence * n)
+    if masks_count == 0:
+        return phones
+    out = list(phones)
+    for ind in rng.randint(0, n, size=masks_count):
+        if out[ind] not in _SILENCE_NAMES:
+            out[ind] = MASK
+    return out
+
+
+def _quantize(n, step, cap=None):
+    q = ((n + step - 1) // step) * step
+    return min(q, cap) if cap else q
+
+
+class FS2Dataset:
+    """Loads preprocessed features and yields padded superbatches."""
+
+    def __init__(self, metadata_file: str, preprocess: PreprocessConfig,
+                 train: TrainConfig, sort: bool = True, drop_last: bool = True,
+                 max_mel_len: Optional[int] = 1000, apply_masking=None):
+        self.root = preprocess.preprocessed_path
+        self.cleaners = list(preprocess.text_cleaners)
+        self.batch_size = train.optimizer.batch_size
+        self.group_size = train.optimizer.grad_acc_step
+        self.mask_ratio = train.max_masks_per_sentence
+        self.apply_masking = (self.mask_ratio > 0
+                              if apply_masking is None else apply_masking)
+        self.sort = sort
+        self.drop_last = drop_last
+        self.max_mel_len = max_mel_len
+
+        self.meta = []
+        with open(os.path.join(self.root, metadata_file), encoding="utf-8") as f:
+            for line in f:
+                line = line.strip("\n")
+                if not line:
+                    continue
+                name, speaker, text, raw = line.split("|")
+                self.meta.append((name, speaker, text, raw))
+        with open(os.path.join(self.root, "speakers.json")) as f:
+            self.speaker_map = json.load(f)
+
+    def __len__(self):
+        return len(self.meta)
+
+    def _npy(self, kind, speaker, name):
+        subdir = "pitch" if "pitch" in kind else kind
+        return np.load(os.path.join(self.root, subdir,
+                                    f"{speaker}-{kind}-{name}.npy"))
+
+    def load_item(self, idx: int, rng: Optional[np.random.RandomState] = None
+                  ) -> Dict[str, np.ndarray]:
+        name, speaker, text, raw = self.meta[idx]
+        phones = text.strip("{}").split(" ")
+        if self.apply_masking and rng is not None:
+            phones = random_mask(phones, self.mask_ratio, rng)
+        seq = np.asarray(
+            text_to_sequence("{" + " ".join(phones) + "}", self.cleaners),
+            np.int32)
+        item = {
+            "id": name,
+            "speaker": np.int32(self.speaker_map[speaker]),
+            "text": seq,
+            "mel": self._npy("mel", speaker, name).astype(np.float32),
+            "energy": self._npy("energy", speaker, name).astype(np.float32),
+            "duration": self._npy("duration", speaker, name).astype(np.int32),
+            "pitch_raw": self._npy("pitch", speaker, name).astype(np.float32),
+            "pitch_cwt": np.nan_to_num(
+                self._npy("cwt-pitch", speaker, name).astype(np.float32)),
+            "pitch_mean": self._npy("pitch-mean", speaker, name).astype(np.float32),
+            "pitch_std": self._npy("pitch-std", speaker, name).astype(np.float32),
+        }
+        return item
+
+    def _collate(self, items: List[Dict[str, np.ndarray]], L: int, T: int):
+        B = len(items)
+        batch = {
+            "speakers": np.zeros((B,), np.int32),
+            "texts": np.zeros((B, L), np.int32),
+            "src_lens": np.zeros((B,), np.int32),
+            "mels": np.zeros((B, T, 80), np.float32),
+            "mel_lens": np.zeros((B,), np.int32),
+            "energies": np.zeros((B, L), np.float32),
+            "durations": np.zeros((B, L), np.int32),
+            "pitches_raw": np.zeros((B, L), np.float32),
+            "pitches_cwt": np.zeros((B, L, 11), np.float32),
+            "pitches_mean": np.zeros((B,), np.float32),
+            "pitches_std": np.zeros((B,), np.float32),
+        }
+        for b, it in enumerate(items):
+            l = min(len(it["text"]), L)
+            t = min(it["mel"].shape[0], T)
+            batch["speakers"][b] = it["speaker"]
+            batch["texts"][b, :l] = it["text"][:l]
+            batch["src_lens"][b] = l
+            batch["mels"][b, :t] = it["mel"][:t]
+            batch["mel_lens"][b] = t
+            n = min(l, len(it["energy"]))
+            batch["energies"][b, :n] = it["energy"][:n]
+            batch["durations"][b, :n] = it["duration"][:n]
+            batch["pitches_raw"][b, :n] = it["pitch_raw"][:n]
+            c = min(l, it["pitch_cwt"].shape[0])
+            batch["pitches_cwt"][b, :c] = it["pitch_cwt"][:c, :11]
+            batch["pitches_mean"][b] = it["pitch_mean"]
+            batch["pitches_std"][b] = it["pitch_std"]
+        return batch
+
+    def epoch_superbatches(self, seed: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield (acc, B, ...) superbatches for one epoch.
+
+        Groups of batch_size*group_size items are length-sorted (desc) and
+        sliced into `group_size` microbatches (the reference's grouped
+        collate), padded jointly to quantized max lengths.
+        """
+        rng = np.random.RandomState(seed)
+        order = rng.permutation(len(self.meta))
+        group = self.batch_size * self.group_size
+        for start in range(0, len(order) - (group - 1 if self.drop_last else 0),
+                           group):
+            idxs = order[start : start + group]
+            if len(idxs) < group and self.drop_last:
+                break
+            items = [self.load_item(i, rng) for i in idxs]
+            if self.sort:
+                items.sort(key=lambda it: -len(it["text"]))
+            micro = [items[i * self.batch_size : (i + 1) * self.batch_size]
+                     for i in range(len(items) // self.batch_size)]
+            micro = [m for m in micro if len(m) == self.batch_size]
+            if not micro:
+                continue
+            L = _quantize(max(len(it["text"]) for m in micro for it in m),
+                          L_STEP)
+            T = _quantize(max(it["mel"].shape[0] for m in micro for it in m),
+                          T_STEP, self.max_mel_len)
+            collated = [self._collate(m, L, T) for m in micro]
+            yield {k: np.stack([c[k] for c in collated]) for k in collated[0]}
+
+    def batches(self, seed: int = 0, batch_size: Optional[int] = None
+                ) -> Iterator[Dict[str, np.ndarray]]:
+        """Plain (B, ...) batches (no accumulation axis) — for evaluation."""
+        bs = batch_size or self.batch_size
+        rng = np.random.RandomState(seed)
+        order = np.arange(len(self.meta))
+        for start in range(0, len(order), bs):
+            idxs = order[start : start + bs]
+            if len(idxs) < bs and self.drop_last:
+                break
+            items = [self.load_item(i, rng if self.apply_masking else None)
+                     for i in idxs]
+            L = _quantize(max(len(it["text"]) for it in items), L_STEP)
+            T = _quantize(max(it["mel"].shape[0] for it in items), T_STEP,
+                          self.max_mel_len)
+            yield self._collate(items, L, T)
