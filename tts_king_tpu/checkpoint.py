@@ -234,8 +234,11 @@ def save_train_state(path: str, step: int, variables: Dict[str, Any],
                      opt_state=None, extra: Optional[Dict[str, Any]] = None):
     """Save full train state. The speaker embedding is stored under its own
     key so checkpoints can be transplanted across speaker sets (the
-    reference's convention, train.py:212-227)."""
+    reference's convention, train.py:212-227). The optimizer state is saved
+    as a flax state-dict (pure nested dicts) so restore can rebuild the
+    optax pytree structure with from_state_dict."""
     import orbax.checkpoint as ocp
+    from flax.serialization import to_state_dict
 
     params = dict(variables["params"])
     speaker_emb = params.pop("speaker_emb", None)
@@ -243,7 +246,7 @@ def save_train_state(path: str, step: int, variables: Dict[str, Any],
         "params": params,
         "speaker_emb": speaker_emb if speaker_emb is not None else {},
         "batch_stats": variables.get("batch_stats", {}),
-        "opt_state": opt_state if opt_state is not None else {},
+        "opt_state": to_state_dict(opt_state) if opt_state is not None else {},
         "extra": extra or {},
         "step": step,
     }
