@@ -1,0 +1,92 @@
+"""Synthesis pipeline smoke tests: acoustic driver bucketing, vocoder int16
+output, TTSKing end-to-end with the lexicon G2P fallback."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def small_cfg(tmp_path_factory):
+    from tts_king_tpu.config import (
+        ModelConfig, TransformerConfig, TTSConfig, VariancePredictorConfig,
+        VocoderModelConfig)
+
+    cfg = TTSConfig(
+        model=ModelConfig(
+            transformer=TransformerConfig(
+                encoder_layer=1, encoder_head=2, encoder_hidden=16,
+                variance_hidden=16, decoder_layer=1, decoder_head=2,
+                decoder_hidden=16, conv_filter_size=32),
+            variance_predictor=VariancePredictorConfig(filter_size=16),
+            max_seq_len=256),
+        vocoder=VocoderModelConfig(
+            upsample_rates=[8, 8, 2, 2],
+            upsample_kernel_sizes=[16, 16, 4, 4],
+            upsample_initial_channel=16,
+            resblock_kernel_sizes=[3],
+            resblock_dilation_sizes=[[1, 3, 5]]),
+    )
+    return cfg
+
+
+def test_acoustic_generate_buckets(small_cfg):
+    from tts_king_tpu.pipeline import AcousticModel
+
+    am = AcousticModel(small_cfg, n_speakers=4)
+    phonemes = np.array([[5, 8, 100, 120, 64, 64, 9]])
+    out = am.generate(phonemes, speaker_name=1)
+    mel = np.asarray(out["postnet_mel"])
+    assert mel.shape[-1] == 80
+    assert mel.shape[1] in (128, 256)  # a mel bucket
+    assert int(np.asarray(out["mel_lens"])[0]) >= 0
+
+    # duration control scales predicted length
+    out_fast = am.generate(phonemes, duration_control=0.5, speaker_name=1)
+    assert (int(np.asarray(out_fast["mel_lens"])[0])
+            <= int(np.asarray(out["mel_lens"])[0]))
+
+
+def test_vocoder_generate(small_cfg):
+    from tts_king_tpu.pipeline import Vocoder
+
+    voc = Vocoder(small_cfg)
+    mel = np.random.RandomState(0).randn(2, 32, 80).astype(np.float32)
+    wavs = voc.generate(mel)
+    assert wavs.dtype == np.int16
+    assert wavs.shape == (2, 32 * 256)
+    trimmed = voc.generate(mel, lengths=[1000, 2000])
+    assert len(trimmed[0]) == 1000 and len(trimmed[1]) == 2000
+
+
+def test_ttsking_speak_with_lexicon(small_cfg, tmp_path):
+    from tts_king_tpu.pipeline import TTSKing
+
+    lex = tmp_path / "mini.dict"
+    lex.write_text(
+        "привет P R I0 V E0 T\nмир M I0 R\n", encoding="utf-8")
+    small_cfg.preprocess.lexicon_path = str(lex)
+
+    king = TTSKing(small_cfg)
+    assert king.speakers  # fallback speaker list
+
+    seq = king.text_preprocess("привет мир")
+    assert seq.shape[0] == 1 and seq.shape[1] > 5
+
+    wavs = king.speak("привет мир")  # list of per-item trimmed int16 arrays
+    assert len(wavs) == 1
+    assert wavs[0].dtype == np.int16
+    assert wavs[0].ndim == 1 and len(wavs[0]) > 0
+
+
+def test_ttsking_unknown_words_become_pauses(small_cfg, tmp_path):
+    from tts_king_tpu.text.g2p import preprocess_with_lexicon, read_lexicon
+    from tts_king_tpu.text.symbols import symbols
+
+    lex = tmp_path / "mini2.dict"
+    lex.write_text("привет P R I0 V E0 T\n", encoding="utf-8")
+    lexicon = read_lexicon(str(lex))
+    seq = preprocess_with_lexicon("привет xyzzy", lexicon)
+    names = [symbols[i] for i in seq]
+    assert "@sp" in names  # unknown word -> pause

@@ -256,8 +256,54 @@ def job_fs2_loss(data):
             for n, l in zip(names, losses)}
 
 
+def job_torch_stft(data):
+    """Magnitude STFT golden values for both reference padding schemes.
+
+    'tacotron': reflect-pad n_fft//2 (fs_two/audio/stft.py:63-70), frames at
+    hop (the conv1d-DFT there equals torch.stft(center=False) framing).
+    'hifigan': reflect-pad (n_fft-hop)//2, sqrt(power + 1e-9)
+    (hifi/meldataset.py:62-70).
+    """
+    import torch
+
+    y = torch.from_numpy(data["y"])
+    n_fft = int(data["n_fft"])
+    hop = int(data["hop"])
+    win = int(data["win"])
+    window = torch.hann_window(win)
+    out = {}
+
+    pad_t = n_fft // 2
+    yt = torch.nn.functional.pad(y[:, None], (pad_t, pad_t), mode="reflect")[:, 0]
+    spec = torch.stft(yt, n_fft, hop_length=hop, win_length=win,
+                      window=window, center=False, return_complex=True)
+    out["tacotron_mag"] = spec.abs().numpy()
+    out["tacotron_energy"] = torch.norm(spec.abs(), dim=1).numpy()
+
+    pad_h = (n_fft - hop) // 2
+    yh = torch.nn.functional.pad(y[:, None], (pad_h, pad_h), mode="reflect")[:, 0]
+    spec = torch.stft(yh, n_fft, hop_length=hop, win_length=win,
+                      window=window, center=False, return_complex=True)
+    out["hifigan_mag"] = torch.sqrt(spec.abs() ** 2 + 1e-9).numpy()
+    return out
+
+
+def job_reference_inverse_cwt(data):
+    """Reference in-graph inverse CWT (fs_two/cwt/cwt_utils.py:54-66)."""
+    import torch
+
+    _load_reference()
+    from fs_two.cwt.cwt_utils import inverse_batch_cwt
+
+    coefs = torch.from_numpy(data["coefs"]).float()
+    out = inverse_batch_cwt(coefs)
+    return {"recon": out.numpy()}
+
+
 JOBS = {
     "conv1d": job_conv1d,
+    "torch_stft": job_torch_stft,
+    "reference_inverse_cwt": job_reference_inverse_cwt,
     "conv_transpose1d": job_conv_transpose1d,
     "adaptive_pool": job_adaptive_pool,
     "reference_fs2": job_reference_fs2,
