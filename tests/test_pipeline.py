@@ -74,6 +74,14 @@ def test_ttsking_speak_with_lexicon(small_cfg, tmp_path):
     seq = king.text_preprocess("привет мир")
     assert seq.shape[0] == 1 and seq.shape[1] > 5
 
+    # Untrained weights predict ~zero durations; bias the duration head so
+    # the length regulator expands to a few frames per phoneme.
+    import jax.numpy as jnp
+
+    params = king.tts.variables["params"]
+    dp = params["variance_adaptor"]["duration_predictor"]["linear_layer"]
+    dp["bias"] = jnp.full_like(dp["bias"], 1.5)  # exp(1.5)-1 ~ 3.5 frames
+
     wavs = king.speak("привет мир")  # list of per-item trimmed int16 arrays
     assert len(wavs) == 1
     assert wavs[0].dtype == np.int16
