@@ -1,0 +1,99 @@
+"""HiFi-GAN GAN-training tests: the step runs, losses are finite and the
+generator actually improves its mel-L1 on a fixed batch; weight-norm export
+matches the inference Generator."""
+
+import numpy as np
+import pytest
+
+
+def _tiny_cfg():
+    from tts_king_tpu.config import VocoderModelConfig
+
+    # self-consistent tiny config: upsample product 4*4 == hop_size 16
+    return VocoderModelConfig(
+        upsample_rates=[4, 4], upsample_kernel_sizes=[8, 8],
+        upsample_initial_channel=8, resblock_kernel_sizes=[3],
+        resblock_dilation_sizes=[[1, 3]], segment_size=512,
+        n_fft=64, hop_size=16, win_size=64, num_mels=16,
+        mel_fmax=8000.0)
+
+
+@pytest.fixture(scope="module")
+def trainer_and_state():
+    import jax
+
+    from tts_king_tpu.train.vocoder import VocoderTrainer
+
+    cfg = _tiny_cfg()
+    tr = VocoderTrainer(cfg, disc_p_channels=(4, 8, 8, 8, 8), msd_width=32)
+    state = tr.init_state(jax.random.PRNGKey(0),
+                          cfg.segment_size // cfg.hop_size)
+    return cfg, tr, state
+
+
+def test_gan_step_runs_and_learns(trainer_and_state):
+    import jax
+
+    cfg, tr, state = trainer_and_state
+    frames = cfg.segment_size // cfg.hop_size
+    t = np.arange(cfg.segment_size) / cfg.sampling_rate
+    wav = np.stack([0.5 * np.sin(2 * np.pi * 220 * t),
+                    0.5 * np.sin(2 * np.pi * 330 * t)]).astype(np.float32)
+    from tts_king_tpu.ops.stft import hifigan_mel
+
+    mel = np.asarray(hifigan_mel(wav, cfg.n_fft, cfg.num_mels,
+                                 cfg.sampling_rate, cfg.hop_size,
+                                 cfg.win_size, 0.0, 8000.0))[:, :frames]
+    batch = {"mel": mel, "wav": wav, "mel_loss": mel}
+
+    step = jax.jit(tr.make_train_step())
+    mel_l1_first = None
+    for i in range(6):
+        state, losses = step(state, batch)
+        for name, v in losses._asdict().items():
+            assert np.isfinite(float(v)), f"{name} not finite at step {i}"
+        if mel_l1_first is None:
+            mel_l1_first = float(losses.mel_l1)
+    assert int(state.step) == 6
+    assert float(losses.mel_l1) < mel_l1_first, "generator did not improve"
+
+
+def test_weight_norm_export_matches_inference(trainer_and_state):
+    import jax
+    import jax.numpy as jnp
+
+    from tts_king_tpu.models.hifigan import Generator
+
+    cfg, tr, state = trainer_and_state
+    mel = jnp.asarray(
+        np.random.RandomState(1).randn(1, 8, cfg.num_mels), jnp.float32)
+    wn_out = tr.gen.apply({"params": state.gen_params}, mel)
+    folded = tr.export_inference_params(state.gen_params)
+    plain = Generator(cfg, weight_norm=False)
+    plain_out = plain.apply({"params": folded}, mel)
+    np.testing.assert_allclose(np.array(wn_out), np.array(plain_out),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_mel_dataset_segments(tmp_path):
+    from scipy.io import wavfile
+
+    from tts_king_tpu.data.mel_dataset import MelDataset
+
+    cfg = _tiny_cfg()
+    paths = []
+    for i in range(3):
+        t = np.arange(6000 + 1000 * i) / cfg.sampling_rate
+        wav = (0.4 * np.sin(2 * np.pi * (200 + 50 * i) * t) * 32000)
+        p = tmp_path / f"w{i}.wav"
+        wavfile.write(str(p), cfg.sampling_rate, wav.astype(np.int16))
+        paths.append(str(p))
+
+    ds = MelDataset(paths, cfg, split=True)
+    batches = list(ds.batches(batch_size=2, seed=0))
+    assert batches
+    b = batches[0]
+    assert b["wav"].shape == (2, cfg.segment_size)
+    frames = cfg.segment_size // cfg.hop_size
+    assert b["mel"].shape == (2, frames, cfg.num_mels)
+    assert b["mel_loss"].shape == (2, frames, cfg.num_mels)

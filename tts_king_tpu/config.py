@@ -52,6 +52,11 @@ class VocoderModelConfig:
     hop_size: int = 256
     win_size: int = 1024
     sampling_rate: int = 22050
+    mel_fmin: float = 0.0
+    mel_fmax: float = 8000.0
+    # fmax for the training mel-L1 target (None = mel_fmax); the original
+    # HiFi-GAN recipe uses full-band (None -> sr/2) for the loss mel.
+    mel_fmax_loss: Optional[float] = None
 
 
 @dataclass

@@ -1,0 +1,91 @@
+"""HiFi-GAN vocoder training data (hifi/meldataset.py equivalent).
+
+The reference keeps this pipeline dormant (imported by no live path,
+SURVEY.md §2.9) and leaves HIFIapi.train unimplemented; here it feeds a real
+GAN training loop (train/vocoder.py). Semantics kept from meldataset.py:
+random fixed-size segment cropping (segment_size samples, zero-pad short
+clips), mel via the torch.stft-style path ((n_fft-hop)//2 reflect pad), a
+separate fmax_loss mel for the L1 loss term, and a fine-tuning mode that
+reads precomputed acoustic-model mels and crops aligned segments.
+"""
+
+import os
+import random
+from typing import List, Optional
+
+import numpy as np
+
+from tts_king_tpu.config import VocoderModelConfig
+from tts_king_tpu.data.features import load_wav
+from tts_king_tpu.ops.stft import hifigan_mel
+
+
+class MelDataset:
+    def __init__(self, wav_paths: List[str], cfg: VocoderModelConfig,
+                 split: bool = True, fine_tuning: bool = False,
+                 base_mels_path: Optional[str] = None,
+                 seed: int = 1234, shuffle: bool = True):
+        self.paths = list(wav_paths)
+        if shuffle:
+            random.Random(seed).shuffle(self.paths)
+        self.cfg = cfg
+        self.split = split
+        self.fine_tuning = fine_tuning
+        self.base_mels_path = base_mels_path
+        self.fmax = cfg.mel_fmax
+        self.fmax_loss = cfg.mel_fmax_loss
+        self.frames_per_seg = cfg.segment_size // cfg.hop_size
+
+    def __len__(self):
+        return len(self.paths)
+
+    def _segment(self, wav, rng):
+        seg = self.cfg.segment_size
+        if len(wav) >= seg:
+            start = rng.randint(0, len(wav) - seg) if self.split else 0
+            return wav[start : start + seg] if self.split else wav
+        return np.pad(wav, (0, seg - len(wav)))
+
+    def load_item(self, idx: int, rng: random.Random):
+        cfg = self.cfg
+        wav = load_wav(self.paths[idx], cfg.sampling_rate)
+        if not self.fine_tuning:
+            if self.split:
+                wav = self._segment(wav, rng)
+            mel = np.asarray(hifigan_mel(
+                wav[None], cfg.n_fft, cfg.num_mels, cfg.sampling_rate,
+                cfg.hop_size, cfg.win_size, cfg.mel_fmin, self.fmax))[0]
+        else:
+            base = os.path.splitext(os.path.basename(self.paths[idx]))[0]
+            mel = np.load(os.path.join(self.base_mels_path, base + ".npy"))
+            if mel.ndim == 2 and mel.shape[0] == cfg.num_mels:
+                mel = mel.T  # accept (n_mels, T) layout
+            if self.split:
+                if mel.shape[0] >= self.frames_per_seg:
+                    start = rng.randint(0, mel.shape[0] - self.frames_per_seg)
+                    mel = mel[start : start + self.frames_per_seg]
+                    wav = wav[start * cfg.hop_size :
+                              (start + self.frames_per_seg) * cfg.hop_size]
+                else:
+                    mel = np.pad(mel, ((0, self.frames_per_seg - mel.shape[0]),
+                                       (0, 0)))
+                    wav = np.pad(wav, (0, cfg.segment_size - len(wav)))
+        mel_loss = np.asarray(hifigan_mel(
+            wav[None], cfg.n_fft, cfg.num_mels, cfg.sampling_rate,
+            cfg.hop_size, cfg.win_size, cfg.mel_fmin,
+            self.fmax_loss or self.fmax))[0]
+        return mel.astype(np.float32), wav.astype(np.float32), mel_loss
+
+    def batches(self, batch_size: int, seed: int = 0):
+        """Yield dict batches of aligned (mel, wav, mel_loss) segments."""
+        rng = random.Random(seed)
+        order = list(range(len(self.paths)))
+        rng.shuffle(order)
+        for start in range(0, len(order) - batch_size + 1, batch_size):
+            items = [self.load_item(i, rng)
+                     for i in order[start : start + batch_size]]
+            yield {
+                "mel": np.stack([m for m, _, _ in items]),
+                "wav": np.stack([w for _, w, _ in items]),
+                "mel_loss": np.stack([l for _, _, l in items]),
+            }

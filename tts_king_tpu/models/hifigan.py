@@ -193,6 +193,7 @@ class DiscriminatorP(nn.Module):
     period: int
     kernel_size: int = 5
     stride: int = 3
+    channels: Tuple[int, ...] = (32, 128, 512, 1024, 1024)
 
     @nn.compact
     def __call__(self, x):
@@ -205,14 +206,14 @@ class DiscriminatorP(nn.Module):
         x = x.reshape(B, T // self.period, self.period, 1)  # (B, T/p, p, 1)
 
         fmap = []
-        channels = [32, 128, 512, 1024]
-        for i, ch in enumerate(channels):
+        for i, ch in enumerate(self.channels[:-1]):
             x = nn.Conv(ch, (self.kernel_size, 1), strides=(self.stride, 1),
                         padding=[(2, 2), (0, 0)], name=f"convs_{i}")(x)
             x = nn.leaky_relu(x, LRELU_SLOPE)
             fmap.append(x)
-        x = nn.Conv(1024, (self.kernel_size, 1), padding=[(2, 2), (0, 0)],
-                    name="convs_4")(x)
+        x = nn.Conv(self.channels[-1], (self.kernel_size, 1),
+                    padding=[(2, 2), (0, 0)],
+                    name=f"convs_{len(self.channels) - 1}")(x)
         x = nn.leaky_relu(x, LRELU_SLOPE)
         fmap.append(x)
         x = nn.Conv(1, (3, 1), padding=[(1, 1), (0, 0)], name="conv_post")(x)
@@ -223,17 +224,26 @@ class DiscriminatorP(nn.Module):
 class DiscriminatorS(nn.Module):
     """Scale discriminator (hifi/models.py:314-341)."""
 
+    width: int = 1  # divides every channel count (for small test configs)
+
     @nn.compact
     def __call__(self, x):
         # x: (B, T) waveform -> (B, T, 1).
         h = x[:, :, None]
+        w = self.width
         specs = [
-            (128, 15, 1, 1, 7), (128, 41, 2, 4, 20), (256, 41, 2, 16, 20),
-            (512, 41, 4, 16, 20), (1024, 41, 4, 16, 20), (1024, 41, 1, 16, 20),
-            (1024, 5, 1, 1, 2),
+            (128 // w, 15, 1, 1, 7), (128 // w, 41, 2, 4, 20),
+            (256 // w, 41, 2, 16, 20), (512 // w, 41, 4, 16, 20),
+            (1024 // w, 41, 4, 16, 20), (1024 // w, 41, 1, 16, 20),
+            (1024 // w, 5, 1, 1, 2),
         ]
         fmap = []
         for i, (ch, k, s, g, p) in enumerate(specs):
+            # group count must divide both in and out channels (relevant only
+            # for width-reduced test configs; w=1 keeps the reference groups).
+            import math
+
+            g = math.gcd(g, math.gcd(int(h.shape[-1]), ch))
             h = nn.Conv(ch, (k,), strides=(s,), padding=[(p, p)],
                         feature_group_count=g, name=f"convs_{i}")(h)
             h = nn.leaky_relu(h, LRELU_SLOPE)
@@ -245,12 +255,13 @@ class DiscriminatorS(nn.Module):
 
 class MultiPeriodDiscriminator(nn.Module):
     periods: Sequence[int] = (2, 3, 5, 7, 11)
+    channels: Tuple[int, ...] = (32, 128, 512, 1024, 1024)
 
     @nn.compact
     def __call__(self, y, y_hat):
         rs, gs, fr, fg = [], [], [], []
         for p in self.periods:
-            d = DiscriminatorP(p, name=f"disc_p{p}")
+            d = DiscriminatorP(p, channels=self.channels, name=f"disc_p{p}")
             r, fmap_r = d(y)
             g, fmap_g = d(y_hat)
             rs.append(r); fr.append(fmap_r); gs.append(g); fg.append(fmap_g)
@@ -259,6 +270,7 @@ class MultiPeriodDiscriminator(nn.Module):
 
 class MultiScaleDiscriminator(nn.Module):
     n_scales: int = 3
+    width: int = 1
 
     @nn.compact
     def __call__(self, y, y_hat):
@@ -267,7 +279,7 @@ class MultiScaleDiscriminator(nn.Module):
             if i:
                 y = _avg_pool1d(y, 4, 2, 2)
                 y_hat = _avg_pool1d(y_hat, 4, 2, 2)
-            d = DiscriminatorS(name=f"disc_s{i}")
+            d = DiscriminatorS(width=self.width, name=f"disc_s{i}")
             r, fmap_r = d(y)
             g, fmap_g = d(y_hat)
             rs.append(r); fr.append(fmap_r); gs.append(g); fg.append(fmap_g)
