@@ -152,7 +152,9 @@ class Preprocessor:
 
                 pitch_backend = "pyworld"
             except ImportError:
-                pitch_backend = "yin"
+                from tts_king_tpu import native
+
+                pitch_backend = "native" if native.available() else "yin"
         self.pitch_backend = pitch_backend
 
     # ---------------- batched device extraction ----------------
@@ -172,6 +174,10 @@ class Preprocessor:
         energies = np.asarray(energies)
         if self.pitch_backend == "pyworld":
             f0s = [self._pyworld_f0(w) for w in wavs]
+        elif self.pitch_backend == "native":
+            from tts_king_tpu import native
+
+            f0s = native.yin_f0_batch(wavs, self.sr, self.hop)
         else:
             f0s = np.asarray(yin_f0(x, self.sr, self.hop))
         out = []
