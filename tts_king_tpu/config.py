@@ -180,6 +180,8 @@ class ModelConfig:
     max_seq_len: int = 1000
     vocoder_model: str = "HiFi-GAN"
     vocoder_use_cpu: bool = False
+    # Fused Pallas attention kernel for inference (ops/pallas/attention.py).
+    use_pallas_attention: bool = False
 
 
 @dataclass

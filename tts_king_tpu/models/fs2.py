@@ -50,6 +50,7 @@ class Encoder(nn.Module):
     max_seq_len: int = 1000
     vocab_size: int = VOCAB_SIZE
     dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, src_seq, pad_mask, deterministic: bool = True,
@@ -72,6 +73,7 @@ class Encoder(nn.Module):
         for i in range(self.n_layers):
             x = FFTBlock(self.d_model, self.n_head, d_k, d_k, self.d_inner,
                          self.kernel_size, self.dropout, dtype=self.dtype,
+                         use_pallas=self.use_pallas,
                          name=f"layer_{i}")(x, pad_mask, deterministic)
         return x
 
@@ -88,6 +90,7 @@ class Decoder(nn.Module):
     dropout: float = 0.2
     max_seq_len: int = 1000
     dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, pad_mask, deterministic: bool = True,
@@ -109,6 +112,7 @@ class Decoder(nn.Module):
         for i in range(self.n_layers):
             x = FFTBlock(self.d_model, self.n_head, d_k, d_k, self.d_inner,
                          self.kernel_size, self.dropout, dtype=self.dtype,
+                         use_pallas=self.use_pallas,
                          name=f"layer_{i}")(x, pad_mask, deterministic)
         return x, pad_mask
 
@@ -283,7 +287,8 @@ class FastSpeech2(nn.Module):
             n_layers=tc.encoder_layer, n_head=tc.encoder_head,
             d_model=tc.encoder_hidden, d_inner=tc.conv_filter_size,
             kernel_size=tuple(tc.conv_kernel_size), dropout=tc.encoder_dropout,
-            max_seq_len=mc.max_seq_len, dtype=self.dtype, name="encoder",
+            max_seq_len=mc.max_seq_len, dtype=self.dtype,
+            use_pallas=mc.use_pallas_attention, name="encoder",
         )(texts, src_masks, deterministic, train)
 
         if mc.multi_speaker:
@@ -318,7 +323,8 @@ class FastSpeech2(nn.Module):
             n_layers=tc.decoder_layer, n_head=tc.decoder_head,
             d_model=tc.decoder_hidden, d_inner=tc.conv_filter_size,
             kernel_size=tuple(tc.conv_kernel_size), dropout=tc.decoder_dropout,
-            max_seq_len=mc.max_seq_len, dtype=self.dtype, name="decoder",
+            max_seq_len=mc.max_seq_len, dtype=self.dtype,
+            use_pallas=mc.use_pallas_attention, name="decoder",
         )(va["x"], va["mel_mask"], deterministic, train)
 
         mel = nn.Dense(self.n_mel_channels, dtype=self.dtype,

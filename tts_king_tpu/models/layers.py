@@ -49,6 +49,7 @@ class MultiHeadAttention(nn.Module):
     d_v: int
     dropout: float = 0.1
     dtype: Any = jnp.float32
+    use_pallas: bool = False  # fused VMEM-resident attention (inference)
 
     @nn.compact
     def __call__(self, x, key_pad_mask, deterministic: bool = True):
@@ -61,14 +62,22 @@ class MultiHeadAttention(nn.Module):
         k = k.reshape(B, T, self.n_head, self.d_k)
         v = v.reshape(B, T, self.n_head, self.d_v)
 
-        scale = 1.0 / np.power(self.d_k, 0.5)
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
-        # Key-side padding mask, broadcast over heads and queries — the
-        # reference masks the same way (Models.py:85, Modules.py:18-19).
-        attn = jnp.where(key_pad_mask[:, None, None, :], NEG_INF, attn)
-        # Softmax in f32 for stability under bf16 compute.
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+        if self.use_pallas and deterministic and self.d_k == self.d_v:
+            from tts_king_tpu.ops.pallas.attention import fused_attention
+
+            out = fused_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), key_pad_mask)
+            out = out.transpose(0, 2, 1, 3)
+        else:
+            scale = 1.0 / np.power(self.d_k, 0.5)
+            attn = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+            # Key-side padding mask, broadcast over heads and queries — the
+            # reference masks the same way (Models.py:85, Modules.py:18-19).
+            attn = jnp.where(key_pad_mask[:, None, None, :], NEG_INF, attn)
+            # Softmax in f32 for stability under bf16 compute.
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
         out = out.reshape(B, T, self.n_head * self.d_v)
         out = nn.Dense(self.d_model, dtype=self.dtype, name="fc")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
@@ -111,13 +120,14 @@ class FFTBlock(nn.Module):
     kernel_size: Tuple[int, int]
     dropout: float = 0.1
     dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, pad_mask, deterministic: bool = True):
         not_pad = (~pad_mask)[:, :, None].astype(x.dtype)
         x = MultiHeadAttention(
             self.n_head, self.d_model, self.d_k, self.d_v, self.dropout,
-            dtype=self.dtype, name="slf_attn",
+            dtype=self.dtype, use_pallas=self.use_pallas, name="slf_attn",
         )(x, pad_mask, deterministic)
         x = x * not_pad
         x = PositionwiseFeedForward(
