@@ -91,6 +91,32 @@ def train(cfg: TTSConfig, max_steps: Optional[int] = None,
     epoch = 0
     t_last = time.time()
     done = False
+    try:
+        state, step = _run_epochs(
+            cfg, state, step, total, epoch, train_ds, val_ds, train_step,
+            eval_step, logger, rng, mesh, vocoder, model, t_last)
+    except (KeyboardInterrupt, Exception):
+        # Failure containment (the reference has none, SURVEY.md §5.3):
+        # persist an emergency checkpoint so the run is resumable, then
+        # re-raise for visibility.
+        try:
+            save_train_state(tc.ckpt_path, step,
+                             jax.device_get(state.variables()),
+                             jax.device_get(state.opt_state))
+            logger.log(step, {"emergency_checkpoint": 1.0}, prefix="failure")
+        finally:
+            logger.close()
+        raise
+    save_train_state(tc.ckpt_path, step, jax.device_get(state.variables()),
+                     jax.device_get(state.opt_state))
+    logger.close()
+    return state
+
+
+def _run_epochs(cfg, state, step, total, epoch, train_ds, val_ds, train_step,
+                eval_step, logger, rng, mesh, vocoder, model, t_last):
+    tc = cfg.train
+    done = False
     while not done:
         epoch += 1
         for superbatch in train_ds.epoch_superbatches(seed=tc.seed + epoch):
@@ -120,10 +146,7 @@ def train(cfg: TTSConfig, max_steps: Optional[int] = None,
             if step >= total:
                 done = True
                 break
-    save_train_state(tc.ckpt_path, step, jax.device_get(state.variables()),
-                     jax.device_get(state.opt_state))
-    logger.close()
-    return state
+    return state, step
 
 
 def _synth_preview(cfg, model, state, val_ds, vocoder, step):
