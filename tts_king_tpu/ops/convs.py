@@ -55,6 +55,53 @@ def conv_transpose1d(x, kernel, bias=None, stride=1, padding=0):
     return out
 
 
+def pack_kernel_1d(kernel, r, dilation=1):
+    """Space-to-depth transform of a same-padded conv1d kernel.
+
+    Narrow-channel convs (C << 128) waste the MXU: a C=32 contraction uses
+    1/16 of the lanes. Packing r consecutive time steps into channels turns
+    the conv over (T, C) into an *exactly equivalent* conv over (T/r, r*C)
+    with a block-structured kernel — full-width contractions at the cost of
+    structurally-zero FLOPs (w/k * r ratio). Net win when C*r <= ~128.
+
+    kernel: (k, Cin, Cout), odd k, same padding, stride 1.
+    Returns (packed_kernel (w, r*Cin, r*Cout), (pad_left, pad_right)) for the
+    packed conv such that
+      packed_conv(x.reshape(B, T/r, r*Cin)).reshape(B, T, Cout)
+      == conv1d(x, kernel, padding=(k-1)//2*dilation, dilation=dilation).
+    """
+    k, cin, cout = kernel.shape
+    c = (k - 1) // 2
+    cd = c * dilation
+    q0 = -((cd + r - 1) // r)          # floor(-cd / r)
+    q1 = (r - 1 + cd) // r
+    w = q1 - q0 + 1
+    packed = jnp.zeros((w, r * cin, r * cout), kernel.dtype)
+    for b in range(r):
+        for j in range(k):
+            off = b + (j - c) * dilation
+            q, a = divmod(off, r)
+            packed = packed.at[
+                q - q0, a * cin : (a + 1) * cin,
+                b * cout : (b + 1) * cout].set(kernel[j])
+    return packed, (-q0, q1)
+
+
+def packed_conv1d(xp, kernel, bias=None, dilation=1, r=4):
+    """Same-padded conv1d on an already space-to-depth-packed input.
+
+    xp: (B, T/r, r*Cin); kernel: logical (k, Cin, Cout).
+    Returns (B, T/r, r*Cout) packed output.
+    """
+    kp, (pl, pr) = pack_kernel_1d(kernel, r, dilation)
+    out = lax.conv_general_dilated(
+        xp, kp, window_strides=(1,), padding=[(pl, pr)],
+        dimension_numbers=_DN)
+    if bias is not None:
+        out = out + jnp.tile(bias, r)
+    return out
+
+
 def adaptive_avg_pool1d(x, output_size):
     """torch.nn.AdaptiveAvgPool1d over the time axis of (B, T, C).
 
