@@ -120,30 +120,23 @@ class AcousticModel:
         return self._apply[max_mel_len]
 
     def generate(self, phonemes, duration_control=1.0, pitch_control=1.0,
-                 energy_control=1.0, speaker_name=None, max_mel_len=None):
+                 energy_control=1.0, speaker_name=None, max_mel_len=None,
+                 src_lens=None):
         """phonemes: (B, L) int array -> dict with postnet mel + mel lens.
 
         Pads L up to a bucket; picks/escalates the mel bucket until the
         predicted durations fit (or the model's max_seq_len is reached).
+        src_lens: per-item phoneme counts for ragged batches (default: all L).
         """
         phonemes = np.asarray(phonemes)
         B, L = phonemes.shape
         Lb = _phone_bucket(L)
         texts = np.zeros((B, Lb), np.int32)
         texts[:, :L] = phonemes
-        src_lens = np.full((B,), L, np.int32)
+        src_lens = (np.asarray(src_lens, np.int32) if src_lens is not None
+                    else np.full((B,), L, np.int32))
 
-        if speaker_name is None:
-            speaker_ids = np.zeros((B,), np.int32)
-        else:
-            if np.issubdtype(np.asarray(speaker_name).dtype, np.integer):
-                speaker_ids = np.full((B,), int(speaker_name), np.int32)
-            else:
-                if speaker_name not in self.speakers_dict:
-                    raise KeyError(
-                        f"Speaker {speaker_name!r} not in speakers.json")
-                speaker_ids = np.full(
-                    (B,), self.speakers_dict[speaker_name], np.int32)
+        speaker_ids = self._resolve_speakers(speaker_name, B)
 
         max_cap = self.config.model.max_seq_len
         if max_mel_len is not None:
@@ -163,6 +156,24 @@ class AcousticModel:
             if int(jnp.max(out["mel_lens"])) <= T:
                 break
         return out
+
+    def _resolve_speakers(self, speaker_name, batch_size):
+        """Scalar name/id or per-item sequence -> (B,) int32 ids."""
+        if speaker_name is None:
+            return np.zeros((batch_size,), np.int32)
+        if isinstance(speaker_name, str):
+            if speaker_name not in self.speakers_dict:
+                raise KeyError(f"Speaker {speaker_name!r} not in speakers.json")
+            return np.full((batch_size,), self.speakers_dict[speaker_name],
+                           np.int32)
+        arr = np.asarray(speaker_name)
+        if arr.ndim == 0:
+            return np.full((batch_size,), int(arr), np.int32)
+        ids = [self.speakers_dict[s] if isinstance(s, str) else int(s)
+               for s in speaker_name]
+        if len(ids) != batch_size:
+            raise ValueError("per-item speakers must match batch size")
+        return np.asarray(ids, np.int32)
 
     def generate_mel(self, *args, **kwargs):
         """Returns the postnet mel only, like FSTWOapi.generate (fsapi.py:82)."""
