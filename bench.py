@@ -1,12 +1,22 @@
-"""End-to-end batched synthesis benchmark on real TPU hardware.
+"""TPU benchmarks for the five BASELINE.md configs.
 
-BASELINE.md config 3: batched multi-speaker synthesis, text -> mel (full
-FastSpeech2 at its shipped size) -> waveform (full HiFi-GAN V1). The
-reference publishes no speed numbers (BASELINE.json `published: {}`), so the
-comparison point is the BASELINE.md north-star target: synthesis RTF < 0.01
-per chip. vs_baseline = target_rtf / measured_rtf (>1 beats the target).
+Default invocation (the driver contract) prints ONE JSON line for the
+headline metric — config 3, end-to-end batched multi-speaker synthesis —
+as {"metric", "value", "unit", "vs_baseline"}.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+`python bench.py --all` additionally runs:
+  1. FS2 text->mel inference, one sentence, single speaker
+  2. HiFi-GAN mel->wav inference (fixed-length mel batch)
+  3. end-to-end batched multi-speaker synthesis (headline)
+  4. feature extraction (mel + F0 + energy) throughput
+  5. FS2 training step, single chip
+
+The reference publishes no speed numbers (BASELINE.json `published: {}`);
+vs_baseline compares against the north-star target RTF 0.01/chip where RTF
+applies (>1 beats the target).
+
+Completion is forced with device-side checksums: block_until_ready is
+unreliable through the remote TPU relay in this environment.
 """
 
 import json
@@ -20,7 +30,15 @@ SAMPLE_RATE = 22050
 HOP = 256
 
 
-def main():
+def _timeit(fn, *args, iters=8):
+    float(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        float(fn(*args))
+    return (time.perf_counter() - t0) / iters
+
+
+def _build_models():
     import jax
     import jax.numpy as jnp
 
@@ -30,54 +48,167 @@ def main():
 
     cfg = TTSConfig()  # shipped sizes: 4L/6L d256 FS2, 512-ch HiFi-GAN x256
     stats = {"pitch": [-7.0, 9.5], "energy": [-1.4, 6.1]}
+    fs2 = build_fastspeech2(cfg.model, stats, n_speakers=66,
+                            dtype=jnp.bfloat16)
+    fs2_vars = fs2.init(
+        jax.random.PRNGKey(0), np.zeros((1,), np.int32),
+        np.ones((1, 8), np.int32), np.ones((1,), np.int32), train=False)
+    voc = Generator(cfg.vocoder, dtype=jnp.bfloat16)
+    voc_vars = voc.init(jax.random.PRNGKey(1), jnp.zeros((1, 16, 80)))
+    return cfg, fs2, fs2_vars, voc, voc_vars
 
-    # Throughput-optimal serving batch: compute scales sublinearly with B
-    # while the per-call relay latency (~36 ms here) amortizes.
-    B, L, T = 32, 128, 1000
+
+def bench_e2e(cfg, fs2, fs2_vars, voc, voc_vars, B=32, L=128, T=1000):
+    """Config 3: batched multi-speaker synthesis (all 66 speaker ids cycle)."""
+    import jax
+    import jax.numpy as jnp
+
     rng = np.random.RandomState(0)
-    speakers = jnp.asarray(rng.randint(0, 66, (B,)), jnp.int32)
+    speakers = jnp.asarray(np.arange(B) % 66, jnp.int32)
     texts = jnp.asarray(rng.randint(1, 206, (B, L)), jnp.int32)
     src_lens = jnp.full((B,), L, jnp.int32)
 
-    # bfloat16 compute (MXU-native precision); params stay f32 and flax
-    # casts at apply time.
-    fs2 = build_fastspeech2(cfg.model, stats, n_speakers=66,
-                            dtype=jnp.bfloat16)
-    fs2_vars = fs2.init(jax.random.PRNGKey(0), speakers, texts, src_lens,
-                        train=False)
-    voc = Generator(cfg.vocoder, dtype=jnp.bfloat16)
-    voc_vars = voc.init(jax.random.PRNGKey(1), jnp.zeros((1, 16, 80)))
+    @jax.jit
+    def synthesize(fv, vv, s, t, sl):
+        out = fs2.apply(fv, s, t, sl, max_mel_len=T, train=False)
+        wav = voc.apply(vv, out["postnet_mel"])
+        return jnp.sum(wav)
+
+    sec = _timeit(synthesize, fs2_vars, voc_vars, speakers, texts, src_lens)
+    audio = B * T * HOP / SAMPLE_RATE
+    rtf = sec / audio
+    return {"metric": "batched_synthesis_rtf", "value": round(rtf, 6),
+            "unit": "rtf_per_chip", "vs_baseline": round(TARGET_RTF / rtf, 3)}
+
+
+def bench_fs2_single(cfg, fs2, fs2_vars):
+    """Config 1: one Russian-length sentence, single speaker, text->mel."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(1)
+    L, T = 64, 512
+    texts = jnp.asarray(rng.randint(1, 206, (1, L)), jnp.int32)
 
     @jax.jit
-    def synthesize(fs2_vars, voc_vars, speakers, texts, src_lens):
-        out = fs2.apply(fs2_vars, speakers, texts, src_lens, max_mel_len=T,
+    def fwd(v, t):
+        out = fs2.apply(v, jnp.zeros((1,), jnp.int32), t,
+                        jnp.full((1,), L, jnp.int32), max_mel_len=T,
                         train=False)
-        wav = voc.apply(voc_vars, out["postnet_mel"])
-        # Device-side checksum: fetching this scalar forces the full
-        # computation (block_until_ready is unreliable through the remote
-        # TPU relay in this environment).
-        return wav, jnp.sum(wav)
+        return jnp.sum(out["postnet_mel"])
 
-    # Warm up / compile.
-    wav, chk = synthesize(fs2_vars, voc_vars, speakers, texts, src_lens)
-    float(chk)
+    sec = _timeit(fwd, fs2_vars, texts)
+    return {"metric": "fs2_single_sentence_latency", "value": round(sec * 1e3, 3),
+            "unit": "ms", "vs_baseline": None}
 
-    n_iters = 10
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        wav, chk = synthesize(fs2_vars, voc_vars, speakers, texts, src_lens)
-        float(chk)
-    elapsed = time.perf_counter() - t0
 
-    audio_seconds = n_iters * B * (T * HOP) / SAMPLE_RATE
-    rtf = elapsed / audio_seconds
-    result = {
-        "metric": "batched_synthesis_rtf",
-        "value": round(rtf, 6),
-        "unit": "rtf_per_chip",
-        "vs_baseline": round(TARGET_RTF / rtf, 3),
-    }
-    print(json.dumps(result))
+def bench_vocoder(cfg, voc, voc_vars, B=8, T=1000):
+    """Config 2: mel->wav on a fixed-length mel batch."""
+    import jax
+    import jax.numpy as jnp
+
+    mel = jnp.asarray(np.random.RandomState(2).randn(B, T, 80), jnp.bfloat16)
+
+    @jax.jit
+    def fwd(v, m):
+        return jnp.sum(voc.apply(v, m))
+
+    sec = _timeit(fwd, voc_vars, mel)
+    rtf = sec / (B * T * HOP / SAMPLE_RATE)
+    return {"metric": "hifigan_mel_to_wav_rtf", "value": round(rtf, 6),
+            "unit": "rtf_per_chip", "vs_baseline": round(TARGET_RTF / rtf, 3)}
+
+
+def bench_features(cfg):
+    """Config 4: batched mel+energy+F0 extraction throughput (x realtime)."""
+    import jax.numpy as jnp
+
+    from tts_king_tpu.ops.f0 import yin_f0
+    from tts_king_tpu.ops.stft import MelExtractor
+
+    B, T = 16, SAMPLE_RATE * 8  # 16 x 8 s utterances
+    wav = jnp.asarray(np.random.RandomState(3).randn(B, T) * 0.3, jnp.float32)
+    mel = MelExtractor()
+
+    import jax
+
+    @jax.jit
+    def extract(y):
+        m, e = mel.mel_and_energy(y)
+        f0 = yin_f0(y, SAMPLE_RATE, HOP)
+        return jnp.sum(m) + jnp.sum(e) + jnp.sum(f0)
+
+    sec = _timeit(extract, wav, iters=4)
+    xrt = (B * T / SAMPLE_RATE) / sec
+    return {"metric": "feature_extraction_speed", "value": round(xrt, 1),
+            "unit": "x_realtime_per_chip", "vs_baseline": None}
+
+
+def bench_train_step(cfg, fs2, fs2_vars):
+    """Config 5: full FS2 training step (batch 16, grad-acc 4), single chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from tts_king_tpu.config import OptimizerConfig
+    from tts_king_tpu.train.state import TrainState, make_optimizer
+    from tts_king_tpu.train.step import make_train_step
+
+    opt = make_optimizer(OptimizerConfig(), 256)
+    # f32 params for training
+    params = jax.tree.map(lambda x: x.astype(jnp.float32)
+                          if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                          fs2_vars["params"])
+    state = TrainState(step=jnp.asarray(0, jnp.int32), params=params,
+                       batch_stats=fs2_vars.get("batch_stats", {}),
+                       opt_state=opt.init(params))
+
+    acc, B, L, T = 4, 16, 96, 640
+    rng = np.random.RandomState(4)
+    d = rng.randint(4, 9, (acc, B, L))
+    superbatch = dict(
+        speakers=rng.randint(0, 66, (acc, B)).astype(np.int32),
+        texts=rng.randint(1, 206, (acc, B, L)).astype(np.int32),
+        src_lens=np.full((acc, B), L, np.int32),
+        mels=rng.randn(acc, B, T, 80).astype(np.float32),
+        mel_lens=np.minimum(d.sum(-1), T).astype(np.int32),
+        energies=rng.randn(acc, B, L).astype(np.float32),
+        durations=d.astype(np.int32),
+        pitches_raw=rng.randn(acc, B, L).astype(np.float32),
+        pitches_cwt=rng.randn(acc, B, L, 11).astype(np.float32),
+        pitches_mean=rng.randn(acc, B).astype(np.float32),
+        pitches_std=rng.rand(acc, B).astype(np.float32),
+    )
+    train_step = jax.jit(make_train_step(
+        __import__("tts_king_tpu.models.fs2", fromlist=["x"]).FastSpeech2(
+            model_config=cfg.model, n_speakers=66, pitch_min=-7.0,
+            pitch_max=9.5, energy_min=-1.4, energy_max=6.1), opt))
+
+    def run(state, sb):
+        new_state, losses = train_step(state, sb, jax.random.PRNGKey(0))
+        return losses.total
+
+    sec = _timeit(run, state, superbatch, iters=4)
+    return {"metric": "fs2_train_step", "value": round(sec * 1e3, 1),
+            "unit": "ms_per_optimizer_step_bs16x4", "vs_baseline": None}
+
+
+def main():
+    run_all = "--all" in sys.argv
+    cfg, fs2, fs2_vars, voc, voc_vars = _build_models()
+
+    headline = bench_e2e(cfg, fs2, fs2_vars, voc, voc_vars)
+    if run_all:
+        results = [
+            bench_fs2_single(cfg, fs2, fs2_vars),
+            bench_vocoder(cfg, voc, voc_vars),
+            headline,
+            bench_features(cfg),
+            bench_train_step(cfg, fs2, fs2_vars),
+        ]
+        for r in results:
+            print(json.dumps(r))
+    else:
+        print(json.dumps(headline))
 
 
 if __name__ == "__main__":
