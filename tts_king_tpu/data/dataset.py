@@ -59,7 +59,8 @@ class FS2Dataset:
 
     def __init__(self, metadata_file: str, preprocess: PreprocessConfig,
                  train: TrainConfig, sort: bool = True, drop_last: bool = True,
-                 max_mel_len: Optional[int] = 1000, apply_masking=None):
+                 max_mel_len: Optional[int] = 1000, apply_masking=None,
+                 use_native_loader: Optional[bool] = None):
         self.root = preprocess.preprocessed_path
         self.cleaners = list(preprocess.text_cleaners)
         self.batch_size = train.optimizer.batch_size
@@ -70,6 +71,12 @@ class FS2Dataset:
         self.sort = sort
         self.drop_last = drop_last
         self.max_mel_len = max_mel_len
+
+        if use_native_loader is None:
+            from tts_king_tpu import native
+
+            use_native_loader = native.available()
+        self.use_native_loader = use_native_loader
 
         self.meta = []
         with open(os.path.join(self.root, metadata_file), encoding="utf-8") as f:
@@ -85,10 +92,23 @@ class FS2Dataset:
     def __len__(self):
         return len(self.meta)
 
-    def _npy(self, kind, speaker, name):
+    def _npy_path(self, kind, speaker, name):
         subdir = "pitch" if "pitch" in kind else kind
-        return np.load(os.path.join(self.root, subdir,
-                                    f"{speaker}-{kind}-{name}.npy"))
+        return os.path.join(self.root, subdir, f"{speaker}-{kind}-{name}.npy")
+
+    def _npy(self, kind, speaker, name):
+        return np.load(self._npy_path(kind, speaker, name))
+
+    def _entry(self, idx: int, rng=None):
+        """(name, speaker, speaker_id, phoneme id sequence) — metadata only."""
+        name, speaker, text, _raw = self.meta[idx]
+        phones = text.strip("{}").split(" ")
+        if self.apply_masking and rng is not None:
+            phones = random_mask(phones, self.mask_ratio, rng)
+        seq = np.asarray(
+            text_to_sequence("{" + " ".join(phones) + "}", self.cleaners),
+            np.int32)
+        return (name, speaker, np.int32(self.speaker_map[speaker]), seq)
 
     def load_item(self, idx: int, rng: Optional[np.random.RandomState] = None
                   ) -> Dict[str, np.ndarray]:
@@ -113,6 +133,49 @@ class FS2Dataset:
             "pitch_std": self._npy("pitch-std", speaker, name).astype(np.float32),
         }
         return item
+
+    def _collate_native(self, entries, L: int, T: int):
+        """Batch-load every feature family with the native threaded npy
+        loader directly into the padded batch buffers (one C++ call per
+        family instead of 7 np.load calls per item)."""
+        from tts_king_tpu import native
+
+        B = len(entries)
+        names = [(spk, name) for (name, spk, _sid, _seq) in entries]
+
+        def paths(kind):
+            return [self._npy_path(kind, spk, name) for spk, name in names]
+
+        mels, mel_lens = native.load_npy_batch(paths("mel"), T, 80)
+        energies, _ = native.load_npy_batch(paths("energy"), L, 1)
+        durations, _ = native.load_npy_batch(paths("duration"), L, 1)
+        pitches, _ = native.load_npy_batch(paths("pitch"), L, 1)
+        cwt, _ = native.load_npy_batch(paths("cwt-pitch"), L, 11)
+        pmean, _ = native.load_npy_batch(paths("pitch-mean"), 1, 1)
+        pstd, _ = native.load_npy_batch(paths("pitch-std"), 1, 1)
+        if (mel_lens < 0).any():
+            bad = [names[i] for i in np.nonzero(mel_lens < 0)[0]]
+            raise FileNotFoundError(f"failed to load mel for {bad[:3]}")
+
+        batch = {
+            "speakers": np.asarray([sid for (_n, _s, sid, _q) in entries],
+                                   np.int32),
+            "texts": np.zeros((B, L), np.int32),
+            "src_lens": np.zeros((B,), np.int32),
+            "mels": mels,
+            "mel_lens": mel_lens.astype(np.int32),
+            "energies": energies[:, :, 0],
+            "durations": durations[:, :, 0].astype(np.int32),
+            "pitches_raw": pitches[:, :, 0],
+            "pitches_cwt": np.nan_to_num(cwt),
+            "pitches_mean": pmean[:, 0, 0],
+            "pitches_std": pstd[:, 0, 0],
+        }
+        for b, (_name, _spk, _sid, seq) in enumerate(entries):
+            l = min(len(seq), L)
+            batch["texts"][b, :l] = seq[:l]
+            batch["src_lens"][b] = l
+        return batch
 
     def _collate(self, items: List[Dict[str, np.ndarray]], L: int, T: int):
         B = len(items)
@@ -162,6 +225,27 @@ class FS2Dataset:
             idxs = order[start : start + group]
             if len(idxs) < group and self.drop_last:
                 break
+            if self.use_native_loader:
+                entries = [self._entry(i, rng) for i in idxs]
+                if self.sort:
+                    entries.sort(key=lambda e: -len(e[3]))
+                micro = [entries[i * self.batch_size : (i + 1) * self.batch_size]
+                         for i in range(len(entries) // self.batch_size)]
+                micro = [m for m in micro if len(m) == self.batch_size]
+                if not micro:
+                    continue
+                L = _quantize(max(len(e[3]) for m in micro for e in m), L_STEP)
+                T = self.max_mel_len or 1000
+                collated = [self._collate_native(m, L, T) for m in micro]
+                # shrink mel padding to the group's quantized max frame count
+                T_used = _quantize(
+                    int(max(c["mel_lens"].max() for c in collated)),
+                    T_STEP, self.max_mel_len)
+                collated = [dict(c, mels=c["mels"][:, :T_used])
+                            for c in collated]
+                yield {k: np.stack([c[k] for c in collated])
+                       for k in collated[0]}
+                continue
             items = [self.load_item(i, rng) for i in idxs]
             if self.sort:
                 items.sort(key=lambda it: -len(it["text"]))
