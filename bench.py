@@ -74,7 +74,19 @@ def bench_e2e(cfg, fs2, fs2_vars, voc, voc_vars, B=32, L=128, T=1000):
         wav = voc.apply(vv, out["postnet_mel"])
         return jnp.sum(wav)
 
-    sec = _timeit(synthesize, fs2_vars, voc_vars, speakers, texts, src_lens)
+    # Depth-2 pipelining (the serving pattern): fetch of batch i-1 overlaps
+    # compute of batch i, hiding the host<->device round trip.
+    float(synthesize(fs2_vars, voc_vars, speakers, texts, src_lens))
+    n_iters = 10
+    t0 = time.perf_counter()
+    prev = None
+    for _ in range(n_iters):
+        cur = synthesize(fs2_vars, voc_vars, speakers, texts, src_lens)
+        if prev is not None:
+            float(prev)
+        prev = cur
+    float(prev)
+    sec = (time.perf_counter() - t0) / n_iters
     audio = B * T * HOP / SAMPLE_RATE
     rtf = sec / audio
     return {"metric": "batched_synthesis_rtf", "value": round(rtf, 6),
