@@ -225,6 +225,69 @@ def job_reference_hifigan(data):
     return out
 
 
+def job_save_reference_checkpoints(data):
+    """Build reference-architecture torch models with random weights and
+    torch.save them in the exact shipped checkpoint layouts: the FS2
+    {model minus speaker_emb, embedding, optimizer} dict (train.py:212-227)
+    and the HiFi-GAN {"generator": ...} dict (hifiapi.py:21-22)."""
+    import torch
+
+    _load_reference()
+    from fs_two.model import FastSpeech2
+    from hifi.models import Generator
+
+    torch.manual_seed(int(data["seed"]))
+
+    class MC(dict):
+        __getattr__ = dict.__getitem__
+
+    model_config = MC({
+        "transformer": {
+            "encoder_layer": int(data["encoder_layer"]), "encoder_head": 2,
+            "encoder_hidden": int(data["hidden"]),
+            "variance_hidden": int(data["hidden"]),
+            "decoder_layer": int(data["decoder_layer"]), "decoder_head": 2,
+            "conv_filter_size": int(data["filter"]),
+            "conv_kernel_size": [9, 1], "encoder_dropout": 0.2,
+            "decoder_dropout": 0.2, "decoder_hidden": int(data["hidden"]),
+        },
+        "variance_predictor": {"filter_size": int(data["hidden"]),
+                               "kernel_size": 3, "dropout": 0.5},
+        "variance_embedding": {"pitch_quantization": "linear",
+                               "energy_quantization": "linear", "n_bins": 256},
+        "use_cwt": False, "multi_speaker": True,
+        "max_seq_len": int(data["max_seq_len"]),
+    })
+    preprocess_config = {
+        "path": {"preprocessed_path": str(data["stats_dir"])},
+        "preprocessing": {"pitch": {"feature": "phoneme_level"},
+                          "energy": {"feature": "phoneme_level"},
+                          "mel": {"n_mel_channels": 80}},
+    }
+    fs2 = FastSpeech2(preprocess_config, model_config,
+                      n_speakers=int(data["n_speakers"]), device="cpu")
+    state = fs2.state_dict()
+    embedding = state.pop("speaker_emb.weight")
+    torch.save({"model": state, "embedding": embedding, "optimizer": {}},
+               str(data["fs2_out"]))
+
+    class AttrDict(dict):
+        __getattr__ = dict.__getitem__
+
+    h = AttrDict(resblock="1",
+                 upsample_rates=[int(v) for v in data["upsample_rates"]],
+                 upsample_kernel_sizes=[int(v) for v in
+                                        data["upsample_kernel_sizes"]],
+                 upsample_initial_channel=int(data["upsample_initial_channel"]),
+                 resblock_kernel_sizes=[int(v) for v in
+                                        data["resblock_kernel_sizes"]],
+                 resblock_dilation_sizes=[[int(x) for x in row] for row in
+                                          data["resblock_dilation_sizes"]])
+    gen = Generator(h)
+    torch.save({"generator": gen.state_dict()}, str(data["hifi_out"]))
+    return {"ok": np.asarray(1)}
+
+
 def job_fs2_loss(data):
     """Reference FastSpeech2Loss on synthetic tensors (fs_two/model/loss.py)."""
     import torch
@@ -307,6 +370,7 @@ JOBS = {
     "conv_transpose1d": job_conv_transpose1d,
     "adaptive_pool": job_adaptive_pool,
     "reference_fs2": job_reference_fs2,
+    "save_reference_checkpoints": job_save_reference_checkpoints,
     "reference_hifigan": job_reference_hifigan,
     "fs2_loss": job_fs2_loss,
 }

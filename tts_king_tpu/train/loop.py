@@ -72,8 +72,13 @@ def train(cfg: TTSConfig, max_steps: Optional[int] = None,
     mesh = None
     if use_mesh and len(jax.devices()) > 1:
         mesh = build_mesh(dp=cfg.mesh.dp, tp=cfg.mesh.tp)
-        state = shard_train_state(state, mesh, optimizer,
-                                  fs2_param_specs(state.params))
+        dp = mesh.shape["dp"]
+        if tc.optimizer.batch_size % dp:
+            # batch must shard evenly over the data axis
+            mesh = None
+        else:
+            state = shard_train_state(state, mesh, optimizer,
+                                      fs2_param_specs(state.params))
 
     train_step = jax.jit(make_train_step(model, optimizer, cfg.model.use_cwt))
     eval_step = jax.jit(make_eval_step(model, cfg.model.use_cwt))
