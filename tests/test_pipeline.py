@@ -88,6 +88,22 @@ def test_ttsking_speak_with_lexicon(small_cfg, tmp_path):
     assert wavs[0].ndim == 1 and len(wavs[0]) > 0
 
 
+def test_vocoder_melgan_choice(small_cfg):
+    import dataclasses
+
+    from tts_king_tpu.pipeline import Vocoder
+
+    cfg = dataclasses.replace(
+        small_cfg, model=dataclasses.replace(small_cfg.model,
+                                             vocoder_model="MelGAN"))
+    cfg.vocoder.upsample_rates = [4, 2]
+    voc = Vocoder(cfg)
+    mel = np.random.RandomState(0).randn(1, 24, 80).astype(np.float32)
+    wavs = voc.generate(mel)
+    assert wavs.shape == (1, 24 * 8)
+    assert wavs.dtype == np.int16
+
+
 def test_ttsking_unknown_words_become_pauses(small_cfg, tmp_path):
     from tts_king_tpu.text.g2p import preprocess_with_lexicon, read_lexicon
     from tts_king_tpu.text.symbols import symbols

@@ -288,6 +288,75 @@ def job_save_reference_checkpoints(data):
     return {"ok": np.asarray(1)}
 
 
+def job_melgan(data):
+    """Torch reimplementation of the descript MelGAN generator architecture
+    (public torch.hub model the reference's MelGAN path loads,
+    fs_two/utils/model.py:52-61): random weight-normed weights, forward on
+    the given mel, state dict in the hub layout (`model` nn.Sequential)."""
+    import torch
+    import torch.nn as torch_nn
+    from torch.nn.utils import weight_norm
+
+    torch.manual_seed(int(data["seed"]))
+    ngf = int(data["ngf"])
+    n_res = int(data["n_residual_layers"])
+    ratios = [int(r) for r in data["ratios"]]
+
+    class ResnetBlock(torch_nn.Module):
+        def __init__(self, dim, dilation):
+            super().__init__()
+            self.block = torch_nn.Sequential(
+                torch_nn.LeakyReLU(0.2),
+                torch_nn.ReflectionPad1d(dilation),
+                weight_norm(torch_nn.Conv1d(dim, dim, 3, dilation=dilation)),
+                torch_nn.LeakyReLU(0.2),
+                weight_norm(torch_nn.Conv1d(dim, dim, 1)),
+            )
+            self.shortcut = weight_norm(torch_nn.Conv1d(dim, dim, 1))
+
+        def forward(self, x):
+            return self.shortcut(x) + self.block(x)
+
+    mult = int(2 ** len(ratios))
+    layers = [
+        torch_nn.ReflectionPad1d(3),
+        weight_norm(torch_nn.Conv1d(80, mult * ngf, 7)),
+    ]
+    for i, r in enumerate(ratios):
+        layers += [
+            torch_nn.LeakyReLU(0.2),
+            weight_norm(torch_nn.ConvTranspose1d(
+                mult * ngf, mult * ngf // 2, r * 2, stride=r,
+                padding=r // 2 + r % 2, output_padding=r % 2)),
+        ]
+        layers += [ResnetBlock(mult * ngf // 2, 3 ** j) for j in range(n_res)]
+        mult //= 2
+    layers += [
+        torch_nn.LeakyReLU(0.2),
+        torch_nn.ReflectionPad1d(3),
+        weight_norm(torch_nn.Conv1d(ngf, 1, 7)),
+        torch_nn.Tanh(),
+    ]
+
+    class Gen(torch_nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.model = torch_nn.Sequential(*layers)
+
+        def forward(self, x):
+            return self.model(x)
+
+    gen = Gen()
+    gen.eval()
+    mel = torch.from_numpy(data["mel"]).float()  # (B, 80, T)
+    with torch.no_grad():
+        wav = gen(mel)
+    out = {"wav": wav.numpy()}
+    for k, v in gen.state_dict().items():
+        out["state__" + k] = v.numpy()
+    return out
+
+
 def job_fs2_loss(data):
     """Reference FastSpeech2Loss on synthetic tensors (fs_two/model/loss.py)."""
     import torch
@@ -372,6 +441,7 @@ JOBS = {
     "reference_fs2": job_reference_fs2,
     "save_reference_checkpoints": job_save_reference_checkpoints,
     "reference_hifigan": job_reference_hifigan,
+    "melgan": job_melgan,
     "fs2_loss": job_fs2_loss,
 }
 

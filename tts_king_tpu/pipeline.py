@@ -182,33 +182,59 @@ class AcousticModel:
 
 
 class Vocoder:
-    """HiFi-GAN inference driver (HIFIapi equivalent, hifiapi.py:11-52)."""
+    """Vocoder inference driver (HIFIapi equivalent, hifiapi.py:11-52).
+
+    Supports both of the reference's vocoder choices
+    (model_config.vocoder.model, fs_two/utils/model.py:46-99): HiFi-GAN
+    (primary) and MelGAN (descript architecture; consumes log10 mels, so
+    natural-log mels are divided by ln(10) — vocoder_infer:87-89)."""
 
     def __init__(self, config: TTSConfig, variables=None, dtype=jnp.float32):
         self.config = config
-        self.model = Generator(config.vocoder)
+        self.kind = config.model.vocoder_model
         weights_path = config.vocoder.weights_path
-        if variables is not None:
-            self.variables = variables
-        elif weights_path and os.path.exists(weights_path):
-            from tts_king_tpu.checkpoint import convert_hifigan_checkpoint
+        if self.kind == "MelGAN":
+            from tts_king_tpu.models.melgan import (MelGANGenerator,
+                                                    convert_melgan_state)
 
-            self.variables = convert_hifigan_checkpoint(
-                weights_path,
-                n_ups=len(config.vocoder.upsample_rates),
-                n_kernels=len(config.vocoder.resblock_kernel_sizes))
+            self.model = MelGANGenerator(
+                ratios=tuple(config.vocoder.upsample_rates), dtype=dtype)
+            if variables is not None:
+                self.variables = variables
+            elif weights_path and os.path.exists(weights_path):
+                from tts_king_tpu.checkpoint import load_torch_checkpoint
+
+                state = load_torch_checkpoint(weights_path)
+                if not any(k.startswith("model.") for k in state):
+                    state = {k.split("mel2wav.", 1)[-1]: v
+                             for k, v in state.items()}
+                self.variables = convert_melgan_state(
+                    state, ratios=tuple(config.vocoder.upsample_rates))
+            else:
+                self.variables = self.model.init(
+                    jax.random.PRNGKey(0), jnp.zeros((1, 16, 80)))
         else:
-            self.variables = self.model.init(
-                jax.random.PRNGKey(0), jnp.zeros((1, 16, 80)))
-        if dtype != jnp.float32:
-            self.variables = jax.tree.map(
-                lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating)
-                else x, self.variables)
+            self.model = Generator(config.vocoder, dtype=dtype)
+            if variables is not None:
+                self.variables = variables
+            elif weights_path and os.path.exists(weights_path):
+                from tts_king_tpu.checkpoint import convert_hifigan_checkpoint
+
+                self.variables = convert_hifigan_checkpoint(
+                    weights_path,
+                    n_ups=len(config.vocoder.upsample_rates),
+                    n_kernels=len(config.vocoder.resblock_kernel_sizes))
+            else:
+                self.variables = self.model.init(
+                    jax.random.PRNGKey(0), jnp.zeros((1, 16, 80)))
         self._apply = jax.jit(self.model.apply)
 
     def __call__(self, mel):
-        """mel: (B, T, 80) -> float waveform (B, T*256) in [-1, 1]."""
-        return self._apply(self.variables, jnp.asarray(mel))
+        """mel: (B, T, 80) natural-log mel -> float waveform in [-1, 1]."""
+        mel = jnp.asarray(mel)
+        if self.kind == "MelGAN":
+            mel = mel / np.log(10.0)
+        return self._apply(self.variables, mel)
 
     def generate(self, mel, lengths=None):
         """mel -> int16 numpy waveform scaled by max_wav_value
