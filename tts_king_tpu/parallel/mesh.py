@@ -119,6 +119,19 @@ def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
 
 
+def shard_for_inference(mesh: Mesh, variables, batch_arrays, tp_specs=None):
+    """Place model variables (replicated, or TP-sharded via tp_specs) and a
+    batch (sharded over 'dp' on dim 0) for data-parallel inference."""
+    if tp_specs is not None:
+        var_sh = make_shardings(mesh, tp_specs)
+        variables = jax.device_put(variables, var_sh)
+    else:
+        variables = jax.device_put(variables, replicated(mesh))
+    batch_arrays = jax.device_put(
+        batch_arrays, make_shardings(mesh, batch_specs(batch_arrays)))
+    return variables, batch_arrays
+
+
 def shard_train_state(state, mesh: Mesh, optimizer, param_specs=None):
     """Place a TrainState on the mesh: params (and the optimizer's
     param-shaped slots, e.g. Adam mu/nu) follow the TP rules; everything

@@ -59,7 +59,11 @@ class AcousticModel:
     """FastSpeech2 inference driver (FSTWOapi equivalent, fsapi.py:9-82)."""
 
     def __init__(self, config: TTSConfig, variables=None, n_speakers=None,
-                 stats=None, dtype=jnp.float32):
+                 stats=None, dtype=jnp.float32, mesh=None):
+        # mesh: optional jax.sharding.Mesh for data-parallel inference —
+        # params replicate, batches shard over 'dp'; the batch size must
+        # divide by the dp axis (the server pads its batches).
+        self.mesh = mesh
         self.config = config
         weights_path = config.acoustic.weights_path
         model_dir = os.path.dirname(weights_path) if weights_path else None
@@ -146,15 +150,32 @@ class AcousticModel:
             start = _bucket(guess, MEL_BUCKETS)
             buckets = [b for b in MEL_BUCKETS if b >= start] or [max_cap]
 
+        variables = self.variables
+        if self.mesh is not None:
+            from tts_king_tpu.parallel.mesh import shard_for_inference
+
+            dp = self.mesh.shape.get("dp", 1)
+            if B % dp:
+                pad = dp - B % dp
+                texts = np.concatenate([texts, np.zeros((pad, Lb), np.int32)])
+                src_lens = np.concatenate([src_lens, np.ones((pad,), np.int32)])
+                speaker_ids = np.concatenate(
+                    [speaker_ids, np.zeros((pad,), np.int32)])
+            variables, (speaker_ids, texts, src_lens) = shard_for_inference(
+                self.mesh, variables, (speaker_ids, texts, src_lens))
+
         out = None
         for T in buckets:
             fn = self._compiled(T)
-            out = fn(self.variables, speaker_ids, texts, src_lens,
+            out = fn(variables, speaker_ids, texts, src_lens,
                      max_mel_len=T,
                      p_control=pitch_control, e_control=energy_control,
                      d_control=duration_control)
-            if int(jnp.max(out["mel_lens"])) <= T:
+            if int(jnp.max(out["mel_lens"][:B])) <= T:
                 break
+        if out["postnet_mel"].shape[0] != B:
+            out = jax.tree.map(lambda a: a[:B] if hasattr(a, "shape")
+                               and a.ndim >= 1 else a, out)
         return out
 
     def _resolve_speakers(self, speaker_name, batch_size):
