@@ -9,14 +9,20 @@ import os
 import sys
 
 # Force CPU unconditionally: the host env presets JAX_PLATFORMS=axon (TPU),
-# and TPU bf16 matmuls would break f32 parity tolerances. jax may already be
-# imported (sitecustomize), but backends initialize lazily, so this still
-# takes effect as long as no computation has run yet.
+# and TPU bf16 matmuls would break f32 parity tolerances. The env var is
+# captured when jax is first imported (which sitecustomize does at
+# interpreter startup, BEFORE this file runs), so the env write alone is
+# ignored — the explicit config update below is what actually takes effect
+# (backends initialize lazily, so it still applies).
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax as _jax
+
+_jax.config.update("jax_platforms", "cpu")
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
