@@ -178,6 +178,8 @@ class ModelConfig:
     use_cwt: bool = False
     multi_speaker: bool = True
     max_seq_len: int = 1000
+    # PostNet width (the reference hard-codes 512, Layers.py:78)
+    postnet_dim: int = 512
     vocoder_model: str = "HiFi-GAN"
     vocoder_use_cpu: bool = False
     # Fused Pallas attention kernel for inference (ops/pallas/attention.py).

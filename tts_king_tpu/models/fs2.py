@@ -335,7 +335,8 @@ class FastSpeech2(nn.Module):
         # length, leaking shorter items' mel-bias padding into their last
         # ~10 frames — a batch-composition-dependent quirk; this masked form
         # is batch-invariant and exact for single-utterance inference.)
-        postnet_mel = PostNet(self.n_mel_channels, dtype=self.dtype,
+        postnet_mel = PostNet(self.n_mel_channels,
+                              embedding_dim=mc.postnet_dim, dtype=self.dtype,
                               name="postnet")(
             mel, train=train, pad_mask=mel_masks_out) + mel
 
