@@ -219,6 +219,41 @@ class Generator(nn.Module):
         return jnp.tanh(x.astype(jnp.float32))[..., 0]
 
 
+class WNConv(nn.Module):
+    """flax conv (1D or 2D by kernel tuple) with torch weight_norm(dim=0)
+    parametrization — the discriminators train with the same optimization
+    geometry as the torch originals (hifi/models.py:219-220)."""
+
+    features: int
+    kernel_size: Tuple[int, ...]
+    strides: Tuple[int, ...] = None
+    padding: Any = 0
+    feature_group_count: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        kshape = tuple(self.kernel_size) + (
+            x.shape[-1] // self.feature_group_count, self.features)
+        v = self.param("v", nn.initializers.lecun_normal(), kshape)
+        g = self.param("g", nn.initializers.ones, (self.features,))
+        axes = tuple(range(v.ndim - 1))
+        norm = jnp.sqrt(jnp.sum(v * v, axis=axes, keepdims=True) + 1e-12)
+        kernel = g * v / norm
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, kernel.shape,
+            ("NHC", "HIO", "NHC") if len(self.kernel_size) == 1
+            else ("NHWC", "HWIO", "NHWC"))
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = [(pad, pad)] * len(self.kernel_size)
+        out = jax.lax.conv_general_dilated(
+            x, kernel, self.strides or (1,) * len(self.kernel_size), pad,
+            dimension_numbers=dn,
+            feature_group_count=self.feature_group_count)
+        return out + bias
+
+
 class DiscriminatorP(nn.Module):
     """Period discriminator (hifi/models.py:213-282)."""
 
@@ -239,16 +274,16 @@ class DiscriminatorP(nn.Module):
 
         fmap = []
         for i, ch in enumerate(self.channels[:-1]):
-            x = nn.Conv(ch, (self.kernel_size, 1), strides=(self.stride, 1),
-                        padding=[(2, 2), (0, 0)], name=f"convs_{i}")(x)
+            x = WNConv(ch, (self.kernel_size, 1), strides=(self.stride, 1),
+                       padding=[(2, 2), (0, 0)], name=f"convs_{i}")(x)
             x = nn.leaky_relu(x, LRELU_SLOPE)
             fmap.append(x)
-        x = nn.Conv(self.channels[-1], (self.kernel_size, 1),
-                    padding=[(2, 2), (0, 0)],
-                    name=f"convs_{len(self.channels) - 1}")(x)
+        x = WNConv(self.channels[-1], (self.kernel_size, 1),
+                   padding=[(2, 2), (0, 0)],
+                   name=f"convs_{len(self.channels) - 1}")(x)
         x = nn.leaky_relu(x, LRELU_SLOPE)
         fmap.append(x)
-        x = nn.Conv(1, (3, 1), padding=[(1, 1), (0, 0)], name="conv_post")(x)
+        x = WNConv(1, (3, 1), padding=[(1, 1), (0, 0)], name="conv_post")(x)
         fmap.append(x)
         return x.reshape(B, -1), fmap
 
@@ -276,11 +311,11 @@ class DiscriminatorS(nn.Module):
             import math
 
             g = math.gcd(g, math.gcd(int(h.shape[-1]), ch))
-            h = nn.Conv(ch, (k,), strides=(s,), padding=[(p, p)],
-                        feature_group_count=g, name=f"convs_{i}")(h)
+            h = WNConv(ch, (k,), strides=(s,), padding=[(p, p)],
+                       feature_group_count=g, name=f"convs_{i}")(h)
             h = nn.leaky_relu(h, LRELU_SLOPE)
             fmap.append(h)
-        h = nn.Conv(1, (3,), padding=[(1, 1)], name="conv_post")(h)
+        h = WNConv(1, (3,), padding=[(1, 1)], name="conv_post")(h)
         fmap.append(h)
         return h.reshape(h.shape[0], -1), fmap
 
