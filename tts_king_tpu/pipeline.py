@@ -314,3 +314,24 @@ class TTSKing:
         mel, mel_lens = self.generate_mel(
             text, duration_control, pitch_control, energy_control, speaker)
         return self.mel_to_wav(mel, mel_lens)
+
+    def speak_streaming(self, text, duration_control=1.0, pitch_control=1.0,
+                        energy_control=1.0, speaker=0, chunk_frames=64):
+        """Yield int16 waveform chunks as they are vocoded (low-latency
+        playback): audio starts after one small vocoder window instead of
+        the full utterance (ops/streaming.py)."""
+        from tts_king_tpu.ops.streaming import (generator_receptive_field,
+                                                stream_vocoder)
+
+        mel, mel_lens = self.generate_mel(
+            text, duration_control, pitch_control, energy_control, speaker)
+        n = int(np.asarray(mel_lens)[0])
+        mel = np.asarray(mel)[:1, :max(n, 1)]
+        halo = generator_receptive_field(self.cfg.vocoder)
+        scale = self.cfg.vocoder.max_wav_value
+        for chunk in stream_vocoder(self.vocoder._apply,
+                                    self.vocoder.variables, mel,
+                                    chunk_frames=chunk_frames,
+                                    halo_frames=halo,
+                                    hop=self.cfg.preprocess.stft.hop_length):
+            yield (np.asarray(chunk, np.float32) * scale).astype(np.int16)
