@@ -204,6 +204,35 @@ def bench_train_step(cfg, fs2, fs2_vars):
             "unit": "ms_per_optimizer_step_bs16x4", "vs_baseline": None}
 
 
+def bench_streaming_latency(cfg, fs2, fs2_vars, voc, voc_vars):
+    """Time-to-first-audio for streaming synthesis of one sentence: FS2
+    forward + the first halo'd vocoder window (ops/streaming.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tts_king_tpu.ops.streaming import generator_receptive_field
+
+    L, T = 64, 512
+    rng = np.random.RandomState(5)
+    texts = jnp.asarray(rng.randint(1, 206, (1, L)), jnp.int32)
+    halo = generator_receptive_field(cfg.vocoder)
+    chunk = 32
+    window = chunk + 2 * halo
+
+    @jax.jit
+    def first_chunk(fv, vv, t):
+        out = fs2.apply(fv, jnp.zeros((1,), jnp.int32), t,
+                        jnp.full((1,), L, jnp.int32), max_mel_len=T,
+                        train=False)
+        wav = voc.apply(vv, out["postnet_mel"][:, :window])
+        return jnp.sum(wav)
+
+    sec = _timeit(first_chunk, fs2_vars, voc_vars, texts)
+    return {"metric": "streaming_time_to_first_audio",
+            "value": round(sec * 1e3, 1), "unit": "ms",
+            "vs_baseline": None}
+
+
 def main():
     run_all = "--all" in sys.argv
     cfg, fs2, fs2_vars, voc, voc_vars = _build_models()
@@ -216,6 +245,7 @@ def main():
             headline,
             bench_features(cfg),
             bench_train_step(cfg, fs2, fs2_vars),
+            bench_streaming_latency(cfg, fs2, fs2_vars, voc, voc_vars),
         ]
         for r in results:
             print(json.dumps(r))
