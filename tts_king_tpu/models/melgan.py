@@ -13,7 +13,6 @@ Inference contract matches vocoder_infer (fs_two/utils/model.py:87-89): the
 model consumes log10 mels, so callers divide natural-log mels by ln(10).
 """
 
-import math
 from typing import Any, Sequence
 
 import flax.linen as nn

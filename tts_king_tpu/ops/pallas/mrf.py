@@ -28,7 +28,6 @@ point and scaffolding for a packed-layout fused kernel (round-2 plan in
 DESIGN.md).
 """
 
-import functools
 from typing import Sequence
 
 import jax

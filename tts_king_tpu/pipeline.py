@@ -117,11 +117,12 @@ class AcousticModel:
         self._apply = {}
 
     def _compiled(self, max_mel_len):
-        if max_mel_len not in self._apply:
-            self._apply[max_mel_len] = jax.jit(
+        # one jit; jax caches per static max_mel_len bucket internally
+        if not self._apply:
+            self._apply["fn"] = jax.jit(
                 partial(self.model.apply, train=False),
                 static_argnames=("max_mel_len",))
-        return self._apply[max_mel_len]
+        return self._apply["fn"]
 
     def generate(self, phonemes, duration_control=1.0, pitch_control=1.0,
                  energy_control=1.0, speaker_name=None, max_mel_len=None,

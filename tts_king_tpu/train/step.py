@@ -9,7 +9,6 @@ in_shardings (parallel/mesh.py). Gradients reduce over 'dp' automatically
 via XLA's partitioner (the psum lives inside the compiled step).
 """
 
-import functools
 from typing import Any, Dict
 
 import jax
