@@ -48,7 +48,6 @@ def stream_vocoder(vocoder_apply, variables, mel, chunk_frames: int = 64,
     mel = np.asarray(mel)
     assert mel.ndim == 3 and mel.shape[0] == 1
     T = mel.shape[1]
-    window = chunk_frames + 2 * halo_frames
     for start in range(0, T, chunk_frames):
         lo = start - halo_frames
         hi = start + chunk_frames + halo_frames
