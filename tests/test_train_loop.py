@@ -65,6 +65,55 @@ def test_train_and_resume(env):
     assert int(state2.step) == 3
 
 
+def test_train_on_mesh_and_resume_across_mesh_change(env, tmp_path):
+    """Full train() driver over the virtual 8-device mesh (not just the
+    train_step), then resume the checkpoint under a different mesh shape
+    (dp=2 tp=1 -> dp=2 tp=2) — exercises sharded save/restore end to end."""
+    import dataclasses
+
+    from tts_king_tpu.config import (AcousticCheckpointConfig, MeshConfig,
+                                     OptimizerConfig, StepConfig)
+    from tts_king_tpu.train.loop import train
+
+    cfg = dataclasses.replace(
+        env,
+        train=dataclasses.replace(
+            env.train,
+            ckpt_path=str(tmp_path / "ckpt"),
+            result_path=str(tmp_path / "result"),
+            optimizer=OptimizerConfig(batch_size=2, grad_acc_step=1),
+            step=StepConfig(total_step=2, log_step=1, synth_step=100,
+                            val_step=2, save_step=2)),
+        mesh=MeshConfig(dp=2, tp=1),
+        acoustic=AcousticCheckpointConfig(restore_step=0),
+    )
+    state = train(cfg, max_steps=2, use_mesh=True)
+    assert int(state.step) == 2
+    assert os.path.isdir(os.path.join(cfg.train.ckpt_path, "step_00000002"))
+
+    # resume on a different mesh shape
+    cfg2 = dataclasses.replace(
+        cfg, mesh=MeshConfig(dp=2, tp=2),
+        acoustic=AcousticCheckpointConfig(restore_step=2))
+    state2 = train(cfg2, max_steps=3, use_mesh=True)
+    assert int(state2.step) == 3
+
+
+def test_train_rejects_unshardable_batch(env):
+    """batch_size % dp != 0 must raise, not silently drop the mesh."""
+    import dataclasses
+
+    import pytest as _pytest
+
+    from tts_king_tpu.config import AcousticCheckpointConfig, MeshConfig
+    from tts_king_tpu.train.loop import train
+
+    cfg = dataclasses.replace(env, mesh=MeshConfig(dp=8, tp=1),
+                              acoustic=AcousticCheckpointConfig())
+    with _pytest.raises(ValueError, match="does not shard evenly"):
+        train(cfg, max_steps=1, use_mesh=True)
+
+
 def test_checkpoint_roundtrip(env, tmp_path):
     import jax
 

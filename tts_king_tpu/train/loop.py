@@ -74,11 +74,15 @@ def train(cfg: TTSConfig, max_steps: Optional[int] = None,
         mesh = build_mesh(dp=cfg.mesh.dp, tp=cfg.mesh.tp)
         dp = mesh.shape["dp"]
         if tc.optimizer.batch_size % dp:
-            # batch must shard evenly over the data axis
-            mesh = None
-        else:
-            state = shard_train_state(state, mesh, optimizer,
-                                      fs2_param_specs(state.params))
+            # Fail loudly: silently falling back to one device would cost
+            # the user dp-times throughput without a word.
+            raise ValueError(
+                f"batch_size={tc.optimizer.batch_size} does not shard "
+                f"evenly over the data axis (dp={dp}). Pick a batch_size "
+                f"divisible by dp, set mesh.dp to a divisor of the batch "
+                f"size, or pass use_mesh=False to train single-device.")
+        state = shard_train_state(state, mesh, optimizer,
+                                  fs2_param_specs(state.params))
 
     train_step = jax.jit(make_train_step(model, optimizer, cfg.model.use_cwt))
     eval_step = jax.jit(make_eval_step(model, cfg.model.use_cwt))
