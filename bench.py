@@ -38,6 +38,40 @@ def _timeit(fn, *args, iters=8):
     return (time.perf_counter() - t0) / iters
 
 
+# Peak dense bf16 matmul rate per chip (for the MFU estimate).
+_PEAK_BF16_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12, "TPU v5e": 197e12,
+    "TPU v5p": 459e12, "TPU v5": 459e12,
+    "TPU v6 lite": 918e12, "TPU v6e": 918e12,
+}
+
+
+def _cost_flops(jitted, *args):
+    """Total FLOPs of one call per XLA's compiled cost analysis (None if
+    unavailable, e.g. on CPU)."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        return flops or None
+    except Exception:
+        return None
+
+
+def _mfu_fields(flops, sec):
+    """achieved TFLOP/s + model FLOPs utilization vs the chip's bf16 peak."""
+    import jax
+
+    if not flops:
+        return {"achieved_tflops": None, "mfu": None}
+    peak = _PEAK_BF16_FLOPS.get(jax.devices()[0].device_kind)
+    tflops = flops / sec / 1e12
+    return {"achieved_tflops": round(tflops, 2),
+            "mfu": round(flops / sec / peak, 4) if peak else None}
+
+
 def _build_models():
     import jax
     import jax.numpy as jnp
@@ -89,8 +123,13 @@ def bench_e2e(cfg, fs2, fs2_vars, voc, voc_vars, B=32, L=128, T=1000):
     sec = (time.perf_counter() - t0) / n_iters
     audio = B * T * HOP / SAMPLE_RATE
     rtf = sec / audio
-    return {"metric": "batched_synthesis_rtf", "value": round(rtf, 6),
-            "unit": "rtf_per_chip", "vs_baseline": round(TARGET_RTF / rtf, 3)}
+    out = {"metric": "batched_synthesis_rtf", "value": round(rtf, 6),
+           "unit": "rtf_per_chip", "vs_baseline": round(TARGET_RTF / rtf, 3),
+           "mel_frames_per_sec_per_chip": round(B * T / sec)}
+    out.update(_mfu_fields(
+        _cost_flops(synthesize, fs2_vars, voc_vars, speakers, texts,
+                    src_lens), sec))
+    return out
 
 
 def bench_fs2_single(cfg, fs2, fs2_vars):
@@ -110,8 +149,11 @@ def bench_fs2_single(cfg, fs2, fs2_vars):
         return jnp.sum(out["postnet_mel"])
 
     sec = _timeit(fwd, fs2_vars, texts)
-    return {"metric": "fs2_single_sentence_latency", "value": round(sec * 1e3, 3),
-            "unit": "ms", "vs_baseline": None}
+    out = {"metric": "fs2_single_sentence_latency",
+           "value": round(sec * 1e3, 3), "unit": "ms", "vs_baseline": None,
+           "mel_frames_per_sec_per_chip": round(T / sec)}
+    out.update(_mfu_fields(_cost_flops(fwd, fs2_vars, texts), sec))
+    return out
 
 
 def bench_vocoder(cfg, voc, voc_vars, B=8, T=1000):
@@ -127,8 +169,11 @@ def bench_vocoder(cfg, voc, voc_vars, B=8, T=1000):
 
     sec = _timeit(fwd, voc_vars, mel)
     rtf = sec / (B * T * HOP / SAMPLE_RATE)
-    return {"metric": "hifigan_mel_to_wav_rtf", "value": round(rtf, 6),
-            "unit": "rtf_per_chip", "vs_baseline": round(TARGET_RTF / rtf, 3)}
+    out = {"metric": "hifigan_mel_to_wav_rtf", "value": round(rtf, 6),
+           "unit": "rtf_per_chip", "vs_baseline": round(TARGET_RTF / rtf, 3),
+           "mel_frames_per_sec_per_chip": round(B * T / sec)}
+    out.update(_mfu_fields(_cost_flops(fwd, voc_vars, mel), sec))
+    return out
 
 
 def bench_features(cfg):
@@ -200,8 +245,12 @@ def bench_train_step(cfg, fs2, fs2_vars):
         return losses.total
 
     sec = _timeit(run, state, superbatch, iters=4)
-    return {"metric": "fs2_train_step", "value": round(sec * 1e3, 1),
-            "unit": "ms_per_optimizer_step_bs16x4", "vs_baseline": None}
+    out = {"metric": "fs2_train_step", "value": round(sec * 1e3, 1),
+           "unit": "ms_per_optimizer_step_bs16x4", "vs_baseline": None}
+    out.update(_mfu_fields(
+        _cost_flops(train_step, state, superbatch, jax.random.PRNGKey(0)),
+        sec))
+    return out
 
 
 def bench_streaming_latency(cfg, fs2, fs2_vars, voc, voc_vars):
