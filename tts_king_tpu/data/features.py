@@ -146,6 +146,12 @@ class Preprocessor:
             config.stft.win_length, config.mel.n_mel_channels,
             self.sr, config.mel.mel_fmin, config.mel.mel_fmax)
 
+        # F0 backend: pyworld when importable (bit-exact with the
+        # reference's dio+stonemask, preprocessor.py:207-213), else the
+        # native C++ DIO-style estimator (same algorithm family — measured
+        # on real speech it voices ~2x the frames YIN does, and those extra
+        # frames are ~85% truly periodic; tests/test_f0_parity.py), else
+        # batched XLA YIN ("yin") as the dependency-free fallback.
         if pitch_backend == "auto":
             try:
                 import pyworld  # noqa: F401
@@ -175,6 +181,10 @@ class Preprocessor:
         if self.pitch_backend == "pyworld":
             f0s = [self._pyworld_f0(w) for w in wavs]
         elif self.pitch_backend == "native":
+            from tts_king_tpu import native
+
+            f0s = native.dio_f0_batch(wavs, self.sr, self.hop)
+        elif self.pitch_backend == "native_yin":
             from tts_king_tpu import native
 
             f0s = native.yin_f0_batch(wavs, self.sr, self.hop)

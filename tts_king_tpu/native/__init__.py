@@ -21,7 +21,8 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SO_PATH = os.path.join(_HERE, "libttsking_native.so")
-_SOURCES = [os.path.join(_HERE, "f0.cpp"), os.path.join(_HERE, "npy_loader.cpp")]
+_SOURCES = [os.path.join(_HERE, "f0.cpp"), os.path.join(_HERE, "dio.cpp"),
+            os.path.join(_HERE, "npy_loader.cpp")]
 
 _lib = None
 _lock = threading.Lock()
@@ -64,6 +65,18 @@ def get_lib():
             ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
             ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_float,
+            ctypes.c_float, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int]
+        lib.dio_f0_native.restype = ctypes.c_int
+        lib.dio_f0_native.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_float, ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+        lib.dio_f0_batch.restype = None
+        lib.dio_f0_batch.argtypes = [
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_float, ctypes.c_float, ctypes.c_float,
             ctypes.c_float, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
             ctypes.POINTER(ctypes.c_int), ctypes.c_int]
         lib.load_npy_batch.restype = None
@@ -120,6 +133,53 @@ def yin_f0_batch(wavs, sampling_rate=22050, hop_length=256, frame_length=2048,
         sampling_rate, hop_length, frame_length,
         ctypes.c_float(f0_floor), ctypes.c_float(f0_ceil),
         ctypes.c_float(threshold),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), max_frames,
+        n_frames.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), n_threads)
+    return [out[i, : n_frames[i]].copy() for i in range(n)]
+
+
+def dio_f0(wav, sampling_rate=22050, hop_length=256, f0_floor=71.0,
+           f0_ceil=800.0, channels_in_octave=2.0, allowed_range=0.1):
+    """DIO-style multiband F0 + StoneMask-style refinement for one utterance
+    (the reference's pyworld dio+stonemask equivalent, preprocessor.py:207-213).
+    wav: (T,) float32 -> (T//hop+1,) f0 in Hz, 0 where unvoiced."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_build_error}")
+    wav = np.ascontiguousarray(wav, np.float32)
+    max_frames = len(wav) // hop_length + 1
+    out = np.zeros(max_frames, np.float32)
+    n = lib.dio_f0_native(
+        wav.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(wav),
+        sampling_rate, hop_length, ctypes.c_float(f0_floor),
+        ctypes.c_float(f0_ceil), ctypes.c_float(channels_in_octave),
+        ctypes.c_float(allowed_range),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), max_frames)
+    return out[:n]
+
+
+def dio_f0_batch(wavs, sampling_rate=22050, hop_length=256, f0_floor=71.0,
+                 f0_ceil=800.0, channels_in_octave=2.0, allowed_range=0.1,
+                 n_threads=None):
+    """Threaded DIO over a list of utterances -> list of f0 arrays."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_build_error}")
+    wavs = [np.ascontiguousarray(w, np.float32) for w in wavs]
+    n = len(wavs)
+    lens = np.asarray([len(w) for w in wavs], np.int32)
+    max_frames = int(lens.max()) // hop_length + 1 if n else 0
+    out = np.zeros((n, max_frames), np.float32)
+    n_frames = np.zeros(n, np.int32)
+    ptrs = (ctypes.POINTER(ctypes.c_float) * n)(
+        *[w.ctypes.data_as(ctypes.POINTER(ctypes.c_float)) for w in wavs])
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 8)
+    lib.dio_f0_batch(
+        ptrs, lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), n,
+        sampling_rate, hop_length, ctypes.c_float(f0_floor),
+        ctypes.c_float(f0_ceil), ctypes.c_float(channels_in_octave),
+        ctypes.c_float(allowed_range),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), max_frames,
         n_frames.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), n_threads)
     return [out[i, : n_frames[i]].copy() for i in range(n)]
