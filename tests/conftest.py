@@ -37,8 +37,34 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
-REFERENCE_ROOT = "/root/reference"
+REFERENCE_ROOT = os.environ.get("TTS_REFERENCE_ROOT", "/root/reference")
+FIXTURES_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "fixtures")
+ORACLE_CACHE_DIR = os.path.join(FIXTURES_DIR, "oracle_cache")
 
 
 def reference_available():
     return os.path.isdir(REFERENCE_ROOT)
+
+
+def oracle_available():
+    """Oracle-backed parity tests run either live against the mounted
+    reference tree (recording replay fixtures as a side effect) or from the
+    committed fixtures in tests/fixtures/oracle_cache (bare clone)."""
+    return reference_available() or os.path.isdir(ORACLE_CACHE_DIR)
+
+
+def pretrained_dir():
+    """Reference pretrained/ dir when mounted, else the committed snapshot
+    of the tiny metadata files parity tests need (stats.json)."""
+    import shutil
+
+    fix = os.path.join(FIXTURES_DIR, "reference_pretrained")
+    if reference_available():
+        ref = os.path.join(REFERENCE_ROOT, "pretrained")
+        os.makedirs(fix, exist_ok=True)
+        dst = os.path.join(fix, "stats.json")
+        if not os.path.exists(dst):
+            shutil.copy(os.path.join(ref, "stats.json"), dst)
+        return ref
+    return fix

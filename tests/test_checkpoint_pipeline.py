@@ -35,7 +35,7 @@ def test_ttsking_from_reference_checkpoints(tmp_path):
     with open(model_dir / "speakers.json", "w") as f:
         json.dump({f"spk{i}": i for i in range(NSPK)}, f)
 
-    run_oracle("save_reference_checkpoints", dict(
+    run_oracle("save_reference_checkpoints", cache=False, inputs=dict(
         seed=99, stats_dir=os.path.join(cf.REFERENCE_ROOT, "pretrained"),
         encoder_layer=ENC, decoder_layer=DEC, hidden=HID, filter=FILT,
         max_seq_len=SEQ, n_speakers=NSPK,

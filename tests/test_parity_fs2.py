@@ -17,7 +17,8 @@ import tests.conftest as cf
 from tests.oracle_util import run_oracle
 
 pytestmark = pytest.mark.skipif(
-    not cf.reference_available(), reason="reference tree not mounted")
+    not cf.oracle_available(),
+    reason="reference tree not mounted and no oracle recordings")
 
 HIDDEN = 32
 FILTER = 64
@@ -25,7 +26,8 @@ ENC_LAYERS = 2
 DEC_LAYERS = 2
 MAX_SEQ_LEN = 96
 N_SPEAKERS = 4
-STATS_DIR = os.path.join(cf.REFERENCE_ROOT, "pretrained")
+POSTNET_DIM = 64
+STATS_DIR = cf.pretrained_dir()
 
 
 def _model_config():
@@ -42,7 +44,8 @@ def _model_config():
         variance_predictor=VariancePredictorConfig(
             filter_size=HIDDEN, kernel_size=3, dropout=0.5),
         variance_embedding=VarianceEmbeddingConfig(),
-        use_cwt=False, multi_speaker=True, max_seq_len=MAX_SEQ_LEN)
+        use_cwt=False, multi_speaker=True, max_seq_len=MAX_SEQ_LEN,
+        postnet_dim=POSTNET_DIM)
 
 
 def _build_flax(state):
@@ -73,7 +76,7 @@ def oracle_inference():
     rng = np.random.RandomState(42)
     texts, src_lens, speakers = _common_inputs(rng)
     payload = dict(
-        seed=7, stats_dir=STATS_DIR, encoder_layer=ENC_LAYERS,
+        seed=7, postnet_dim=POSTNET_DIM, stats_dir=STATS_DIR, encoder_layer=ENC_LAYERS,
         decoder_layer=DEC_LAYERS, hidden=HIDDEN, filter=FILTER,
         max_seq_len=MAX_SEQ_LEN, n_speakers=N_SPEAKERS, use_cwt=False,
         texts=texts, src_lens=src_lens, speakers=speakers,
@@ -143,7 +146,7 @@ def test_inference_parity_with_controls():
     rng = np.random.RandomState(3)
     texts, src_lens, speakers = _common_inputs(rng)
     payload = dict(
-        seed=11, stats_dir=STATS_DIR, encoder_layer=ENC_LAYERS,
+        seed=11, postnet_dim=POSTNET_DIM, stats_dir=STATS_DIR, encoder_layer=ENC_LAYERS,
         decoder_layer=DEC_LAYERS, hidden=HIDDEN, filter=FILTER,
         max_seq_len=MAX_SEQ_LEN, n_speakers=N_SPEAKERS, use_cwt=False,
         texts=texts, src_lens=src_lens, speakers=speakers,
@@ -181,7 +184,7 @@ def test_teacher_forced_parity():
     p_cwt = rng.randn(B, L, 11).astype(np.float32)
 
     payload = dict(
-        seed=13, stats_dir=STATS_DIR, encoder_layer=ENC_LAYERS,
+        seed=13, postnet_dim=POSTNET_DIM, stats_dir=STATS_DIR, encoder_layer=ENC_LAYERS,
         decoder_layer=DEC_LAYERS, hidden=HIDDEN, filter=FILTER,
         max_seq_len=MAX_SEQ_LEN, n_speakers=N_SPEAKERS, use_cwt=False,
         texts=texts, src_lens=src_lens, speakers=speakers,

@@ -11,11 +11,12 @@ import pytest
 import tests.conftest as cf
 from tests.oracle_util import run_oracle
 from tests.test_parity_fs2 import (
-    ENC_LAYERS, DEC_LAYERS, FILTER, HIDDEN, N_SPEAKERS, STATS_DIR,
-    _model_config)
+    ENC_LAYERS, DEC_LAYERS, FILTER, HIDDEN, N_SPEAKERS, POSTNET_DIM,
+    STATS_DIR, _model_config)
 
 pytestmark = pytest.mark.skipif(
-    not cf.reference_available(), reason="reference tree not mounted")
+    not cf.oracle_available(),
+    reason="reference tree not mounted and no oracle recordings")
 
 
 def _build(state, use_cwt, max_seq_len):
@@ -43,7 +44,7 @@ def test_cwt_mode_parity():
     speakers = rng.randint(0, N_SPEAKERS, size=(B,)).astype(np.int64)
 
     out = run_oracle("reference_fs2", dict(
-        seed=23, stats_dir=STATS_DIR, encoder_layer=ENC_LAYERS,
+        seed=23, postnet_dim=POSTNET_DIM, stats_dir=STATS_DIR, encoder_layer=ENC_LAYERS,
         decoder_layer=DEC_LAYERS, hidden=HIDDEN, filter=FILTER,
         max_seq_len=96, n_speakers=N_SPEAKERS, use_cwt=True,
         texts=texts, src_lens=src_lens, speakers=speakers,
@@ -90,7 +91,7 @@ def test_longer_than_max_seq_len_parity():
     p_targets = rng.uniform(-2, 2, size=(B, L)).astype(np.float32)
 
     out = run_oracle("reference_fs2", dict(
-        seed=31, stats_dir=STATS_DIR, encoder_layer=ENC_LAYERS,
+        seed=31, postnet_dim=POSTNET_DIM, stats_dir=STATS_DIR, encoder_layer=ENC_LAYERS,
         decoder_layer=DEC_LAYERS, hidden=HIDDEN, filter=FILTER,
         max_seq_len=MAX_SEQ, n_speakers=N_SPEAKERS, use_cwt=False,
         texts=texts, src_lens=src_lens, speakers=speakers,

@@ -8,7 +8,8 @@ import tests.conftest as cf
 from tests.oracle_util import run_oracle
 
 pytestmark = pytest.mark.skipif(
-    not cf.reference_available(), reason="reference tree not mounted")
+    not cf.oracle_available(),
+    reason="reference tree not mounted and no oracle recordings")
 
 
 def _small_cfg():

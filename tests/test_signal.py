@@ -99,7 +99,8 @@ def test_griffin_lim_recovers_tone():
     assert abs(freq - 440) < 15, freq
 
 
-@pytest.mark.skipif(not cf.reference_available(), reason="no reference")
+@pytest.mark.skipif(not cf.oracle_available(),
+                    reason="no reference and no oracle recordings")
 def test_inverse_batch_cwt_parity():
     from tts_king_tpu.ops.cwt import inverse_batch_cwt
 

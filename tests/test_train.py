@@ -28,7 +28,8 @@ def test_noam_schedule_matches_reference():
                                    err_msg=f"step {step}")
 
 
-@pytest.mark.skipif(not cf.reference_available(), reason="no reference")
+@pytest.mark.skipif(not cf.oracle_available(),
+                    reason="no reference and no oracle recordings")
 def test_loss_parity():
     from tts_king_tpu.train.loss import fastspeech2_loss
 

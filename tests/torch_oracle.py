@@ -144,6 +144,13 @@ def job_reference_fs2(data):
 
     model = FastSpeech2(preprocess_config, model_config,
                         n_speakers=int(data["n_speakers"]), device="cpu")
+    if "postnet_dim" in data.files:
+        # The reference hard-codes a 512-channel PostNet
+        # (fastspeech2.py/Layers.py:79); shrink it for parity fixtures so
+        # the recorded state dicts stay small enough to commit.
+        from fs_two.transformer.Layers import PostNet as RefPostNet
+
+        model.postnet = RefPostNet(80, int(data["postnet_dim"]), 5, 5)
     model.eval()
 
     speakers = torch.from_numpy(data["speakers"]).long()
