@@ -235,21 +235,55 @@ def bench_train_step(cfg, fs2, fs2_vars):
         pitches_mean=rng.randn(acc, B).astype(np.float32),
         pitches_std=rng.rand(acc, B).astype(np.float32),
     )
-    train_step = jax.jit(make_train_step(
-        __import__("tts_king_tpu.models.fs2", fromlist=["x"]).FastSpeech2(
-            model_config=cfg.model, n_speakers=66, pitch_min=-7.0,
-            pitch_max=9.5, energy_min=-1.4, energy_max=6.1), opt))
+    model = __import__("tts_king_tpu.models.fs2", fromlist=["x"]).FastSpeech2(
+        model_config=cfg.model, n_speakers=66, pitch_min=-7.0,
+        pitch_max=9.5, energy_min=-1.4, energy_max=6.1)
+    ts = make_train_step(model, opt)
+    superbatch = jax.device_put(superbatch)
 
-    def run(state, sb):
-        new_state, losses = train_step(state, sb, jax.random.PRNGKey(0))
-        return losses.total
+    # Sustained device-side step time via scan differencing: run K steps
+    # inside ONE executable and difference two K values, cancelling the
+    # remote-relay dispatch/fetch overhead that otherwise dominates
+    # per-call host timing (DESIGN.md "Where the train step time goes").
+    def steps_fn(k):
+        @jax.jit
+        def run(state, sb, rng):
+            def body(carry, i):
+                st, _ = carry
+                st, losses = ts(st, sb, jax.random.fold_in(rng, i))
+                return (st, losses.total), None
+            (st, tot), _ = jax.lax.scan(body, (state, jnp.float32(0)),
+                                        jnp.arange(k))
+            return tot
+        return run
 
-    sec = _timeit(run, state, superbatch, iters=4)
+    rngk = jax.random.PRNGKey(0)
+    ka, kb = 1, 5
+    fa, fb = steps_fn(ka), steps_fn(kb)
+    float(fa(state, superbatch, rngk))
+    float(fb(state, superbatch, rngk))
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(fa(state, superbatch, rngk))
+        ta = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(fb(state, superbatch, rngk))
+        tb = time.perf_counter() - t0
+        per = (tb - ta) / (kb - ka)
+        best = per if best is None else min(best, per)
+    sec = best
+
     out = {"metric": "fs2_train_step", "value": round(sec * 1e3, 1),
-           "unit": "ms_per_optimizer_step_bs16x4", "vs_baseline": None}
-    out.update(_mfu_fields(
-        _cost_flops(train_step, state, superbatch, jax.random.PRNGKey(0)),
-        sec))
+           "unit": "ms_per_optimizer_step_bs16x4_sustained",
+           "vs_baseline": None}
+    # XLA's cost analysis counts a scan body once regardless of trip count,
+    # so derive true per-step FLOPs from an acc=1 superbatch (its scan runs
+    # exactly once) scaled by the accumulation factor.
+    sb1 = {k: v[:1] for k, v in jax.device_get(superbatch).items()}
+    train_step1 = jax.jit(ts)
+    flops1 = _cost_flops(train_step1, state, sb1, rngk)
+    out.update(_mfu_fields(flops1 * acc if flops1 else None, sec))
     return out
 
 
