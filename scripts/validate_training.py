@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Training-dynamics validation on a synthetic speech-like corpus.
+
+The reference claims usable quality in <10k steps on real data
+(fs_two/README.md:114). Real corpora aren't available in this environment,
+so this drives the FULL stack (corpus synthesis -> offline features ->
+train() -> evaluate()) on a formant-synthesized multi-speaker corpus and
+reports the loss trajectory; the committed check is the loss-curve *shape*:
+steep early drop, mel + duration + pitch all improving, no divergence.
+
+Usage: python scripts/validate_training.py [--steps 2000] [--utts 50]
+       [--out results/training_validation.json]
+Writes one JSON with the sampled loss curve and summary ratios.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--speakers", type=int, default=4)
+    ap.add_argument("--utts", type=int, default=50, help="per speaker")
+    ap.add_argument("--root", default="/tmp/tts_validate")
+    ap.add_argument("--out", default="results/training_validation.json")
+    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--grad-acc", type=int, default=2)
+    args = ap.parse_args()
+
+    from tts_king_tpu.config import (ModelConfig, OptimizerConfig,
+                                     PreprocessConfig, StepConfig,
+                                     TrainConfig, TransformerConfig,
+                                     TTSConfig, VariancePredictorConfig)
+    from tts_king_tpu.data.features import Preprocessor
+    from tts_king_tpu.data.synthetic import generate_corpus
+
+    raw = os.path.join(args.root, "raw")
+    processed = os.path.join(args.root, "processed")
+    if not os.path.isdir(processed):
+        os.makedirs(raw, exist_ok=True)
+        sec = generate_corpus(raw, n_speakers=args.speakers,
+                              utts_per_speaker=args.utts, seed=0)
+        print(f"corpus: {args.speakers} speakers x {args.utts} utts, "
+              f"{sec/60:.1f} min audio")
+        pp = PreprocessConfig(raw_path=raw, preprocessed_path=processed,
+                              val_size=16)
+        Preprocessor(pp, batch_size=16).build_from_path()
+    pp = PreprocessConfig(raw_path=raw, preprocessed_path=processed,
+                          val_size=16)
+
+    # Half-size model (2L/4L d128): real architecture, fast on one chip.
+    cfg = TTSConfig(
+        exp_name="validate",
+        preprocess=pp,
+        model=ModelConfig(
+            transformer=TransformerConfig(
+                encoder_layer=2, encoder_head=2, encoder_hidden=128,
+                variance_hidden=128, decoder_layer=4, decoder_head=2,
+                decoder_hidden=128, conv_filter_size=512),
+            variance_predictor=VariancePredictorConfig(filter_size=128),
+            max_seq_len=512),
+        train=TrainConfig(
+            ckpt_path=os.path.join(args.root, "ckpt"),
+            result_path=os.path.join(args.root, "result"),
+            optimizer=OptimizerConfig(batch_size=args.batch_size,
+                                      grad_acc_step=args.grad_acc,
+                                      warm_up_step=400),
+            step=StepConfig(total_step=args.steps, log_step=50,
+                            synth_step=10 ** 9, val_step=250,
+                            save_step=10 ** 9)),
+    )
+
+    from tts_king_tpu.train.loop import train
+
+    train(cfg, max_steps=args.steps, use_mesh=False)
+
+    # Parse the metrics JSONL the loop wrote.
+    metrics_path = os.path.join(cfg.train.result_path,
+                                "validate.metrics.jsonl")
+    curve, val_curve = [], []
+    with open(metrics_path) as f:
+        for line in f:
+            m = json.loads(line)
+            if m.get("phase") == "train":
+                curve.append({"step": m["step"], "total": m["total"],
+                              "mel": m["mel"], "duration": m["duration"],
+                              "pitch": m["pitch"]})
+            elif m.get("phase") == "val":
+                val_curve.append({"step": m["step"], "total": m["total"],
+                                  "mel": m["mel"]})
+
+    first, last = curve[0], curve[-1]
+    summary = {
+        "steps": args.steps,
+        "train_total_first": round(first["total"], 3),
+        "train_total_last": round(last["total"], 3),
+        "total_drop_ratio": round(first["total"] / max(last["total"], 1e-9), 2),
+        "mel_first": round(first["mel"], 3),
+        "mel_last": round(last["mel"], 3),
+        "duration_first": round(first["duration"], 3),
+        "duration_last": round(last["duration"], 3),
+        "val_total_last": round(val_curve[-1]["total"], 3) if val_curve else None,
+        "monotone_val": bool(all(
+            b["total"] <= a["total"] * 1.15
+            for a, b in zip(val_curve, val_curve[1:]))) if len(val_curve) > 1 else None,
+    }
+    out = {"summary": summary, "train_curve": curve, "val_curve": val_curve}
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

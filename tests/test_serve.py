@@ -58,6 +58,59 @@ def test_server_mel_mode_and_errors(king):
         server.close()
 
 
+def test_server_window_policy_still_works(king):
+    from tts_king_tpu.serve import SynthesisServer
+
+    server = SynthesisServer(king, max_batch=4, max_wait_ms=20,
+                             policy="window")
+    try:
+        fs = [server.submit(phonemes=np.array([70, 80, 90, 100]))
+              for _ in range(3)]
+        for f in fs:
+            wav = f.result(timeout=120)
+            assert wav.dtype == np.int16 and wav.ndim == 1
+    finally:
+        server.close()
+
+    with pytest.raises(ValueError, match="policy"):
+        SynthesisServer(king, policy="nonsense")
+
+
+def test_server_over_dp_mesh(small_cfg):  # noqa: F811
+    """Serve over a data-parallel mesh: results must match the single-device
+    server bit for bit (same weights, same requests)."""
+    import jax
+
+    from tts_king_tpu.parallel.mesh import build_mesh
+    from tts_king_tpu.pipeline import TTSKing
+    from tts_king_tpu.serve import SynthesisServer
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the virtual multi-device mesh")
+
+    def run(mesh):
+        import jax.numpy as jnp
+
+        k = TTSKing(small_cfg, mesh=mesh)
+        dp = k.tts.variables["params"]["variance_adaptor"][
+            "duration_predictor"]["linear_layer"]
+        dp["bias"] = jnp.full_like(dp["bias"], 1.5)
+        server = SynthesisServer(k, max_batch=4, max_wait_ms=20)
+        try:
+            rng = np.random.RandomState(7)
+            futures = [server.submit(phonemes=rng.randint(64, 200, size=(6,)),
+                                     speaker=i % 3) for i in range(5)]
+            return [f.result(timeout=180) for f in futures]
+        finally:
+            server.close()
+
+    wavs_mesh = run(build_mesh(dp=4, tp=1, devices=jax.devices()[:4]))
+    wavs_single = run(None)
+    assert len(wavs_mesh) == len(wavs_single)
+    for a, b in zip(wavs_mesh, wavs_single):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_per_item_speakers(king):
     out = king.tts.generate(
         np.array([[70, 80, 90, 0], [70, 80, 0, 0]]),

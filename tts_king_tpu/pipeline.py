@@ -272,13 +272,16 @@ class TTSKing:
     """Text -> speech orchestrator (tts_king.py:18-66 equivalent)."""
 
     def __init__(self, config="./config.yaml", lexicon_path=None,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, mesh=None):
+        # mesh: optional jax.sharding.Mesh — FS2 batches shard over 'dp'
+        # (padded to a dp multiple by AcousticModel.generate); the vocoder
+        # consumes the already-sharded mels, so it data-parallelizes too.
         if isinstance(config, str):
             from tts_king_tpu.config import load_config
 
             config = load_config(config)
         self.cfg = config
-        self.tts = AcousticModel(config, dtype=dtype)
+        self.tts = AcousticModel(config, dtype=dtype, mesh=mesh)
         self.vocoder = Vocoder(config, dtype=dtype)
         self.speakers = self.tts.speaker_names
         self._lexicon = None

@@ -1,12 +1,23 @@
 """Dynamic-batching synthesis server.
 
 Production serving layer the reference never had: requests (text or phoneme
-IDs, per-request speaker and prosody controls) are queued and drained by a
-single device thread that groups compatible requests into padded batches —
-one compiled program per (phoneme-bucket, mel-bucket) shape, shared across
-the fleet of requests. Throughput scales with batch size (bench.py: compute
-is sublinear in B on the MXU) while per-request latency stays bounded by
-``max_wait_ms``.
+IDs, per-request speaker and prosody controls) are queued, grouped into
+padded batches (one compiled program per shape bucket) and pipelined through
+the device.
+
+Scheduling (policy="continuous", the default):
+  * a batch forms from whatever is queued RIGHT NOW (no fixed wait) — under
+    load the device's own compute time accumulates the next batch, so
+    batches grow to max_batch by themselves without adding latency;
+  * while the in-flight pipeline is full, arrivals keep being admitted into
+    the forming batch (that waiting is free — dispatch would block anyway);
+  * dispatch and completion run on separate threads with a bounded
+    in-flight queue (depth 2): the vocoder of batch i runs on-device while
+    FS2 of batch i+1 is dispatched and results of batch i-1 are fetched —
+    the host<->device round trip and the FS2/vocoder stages overlap.
+
+policy="window" reproduces the round-1 scheduler (wait out max_wait_ms per
+batch, fully synchronous) for A/B benchmarking (scripts/bench_serve.py).
 
 Requests with identical control knobs are batched together (controls are
 traced scalars, so they don't force recompiles; mixing controls *within* a
@@ -32,21 +43,37 @@ class _Request:
     speaker: int
     controls: tuple             # (duration, pitch, energy)
     future: Future = field(default_factory=Future)
+    t_submit: float = field(default_factory=_now)
 
 
 class SynthesisServer:
     """Batched text->wav serving on top of pipeline.TTSKing."""
 
     def __init__(self, king, max_batch: int = 16, max_wait_ms: float = 10.0,
-                 return_wav: bool = True):
+                 return_wav: bool = True, policy: str = "continuous",
+                 pipeline_depth: int = 2, batch_buckets=None):
+        if policy not in ("continuous", "window"):
+            raise ValueError(f"unknown scheduling policy {policy!r}")
         self.king = king
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
         self.return_wav = return_wav
+        self.policy = policy
+        # Batches are padded UP to one of these sizes: jit re-traces per
+        # batch shape, and a 20-40 s first-touch compile per distinct B
+        # would dwarf any scheduling gain. Few buckets = few compiles;
+        # padded rows cost little (device compute is sublinear in B).
+        self.batch_buckets = sorted(batch_buckets or
+                                    {1, 4, max_batch} | {max_batch})
         self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._inflight: "queue.Queue" = queue.Queue(maxsize=pipeline_depth)
         self._stop = threading.Event()
-        self._thread = threading.Thread(target=self._worker, daemon=True)
-        self._thread.start()
+        self._threads = [
+            threading.Thread(target=self._dispatcher, daemon=True),
+            threading.Thread(target=self._completer, daemon=True),
+        ]
+        for t in self._threads:
+            t.start()
 
     # ------------------------------------------------------------- public
 
@@ -54,6 +81,8 @@ class SynthesisServer:
                duration_control=1.0, pitch_control=1.0,
                energy_control=1.0) -> Future:
         """Enqueue one utterance; resolves to int16 wav (or (mel, mel_len))."""
+        if self._stop.is_set():
+            raise RuntimeError("server is closed")
         if phonemes is None:
             if text is None:
                 raise ValueError("need text or phonemes")
@@ -76,17 +105,22 @@ class SynthesisServer:
 
     def close(self):
         self._stop.set()
-        self._thread.join(timeout=5)
+        for t in self._threads:
+            t.join(timeout=10)
 
-    # ------------------------------------------------------------- worker
+    # --------------------------------------------------------- scheduling
 
-    def _worker(self):
-        while not self._stop.is_set():
-            try:
-                first = self._queue.get(timeout=0.05)
-            except queue.Empty:
-                continue
-            batch = [first]
+    def _gather_batch(self):
+        """Collect the next batch according to the scheduling policy.
+        Returns a list of requests, or None on shutdown."""
+        try:
+            first = self._queue.get(timeout=0.05)
+        except queue.Empty:
+            return None
+        batch = [first]
+
+        if self.policy == "window":
+            # Round-1 behavior: wait out max_wait_ms hoping for company.
             deadline = _now() + self.max_wait
             while len(batch) < self.max_batch:
                 timeout = deadline - _now()
@@ -96,39 +130,96 @@ class SynthesisServer:
                     batch.append(self._queue.get(timeout=timeout))
                 except queue.Empty:
                     break
-            # group by controls (same-knob requests share a batch)
+            return batch
+
+        # Continuous: drain what's already here without waiting...
+        while len(batch) < self.max_batch:
+            try:
+                batch.append(self._queue.get_nowait())
+            except queue.Empty:
+                break
+        # ...and while the pipeline is full (dispatch would block anyway),
+        # keep admitting arrivals into this batch for free.
+        while (len(batch) < self.max_batch and self._inflight.full()
+               and not self._stop.is_set()):
+            try:
+                batch.append(self._queue.get(timeout=0.002))
+            except queue.Empty:
+                pass
+        return batch
+
+    # ------------------------------------------------------------ threads
+
+    def _dispatcher(self):
+        while not self._stop.is_set():
+            batch = self._gather_batch()
+            if not batch:
+                continue
             groups = {}
             for req in batch:
                 groups.setdefault(req.controls, []).append(req)
             for controls, reqs in groups.items():
                 try:
-                    self._run_batch(reqs, controls)
-                except Exception as e:  # surface errors to every waiter
+                    handles = self._dispatch_batch(reqs, controls)
+                except Exception as e:
                     for req in reqs:
                         if not req.future.done():
                             req.future.set_exception(e)
+                    continue
+                # Bounded: blocks when `pipeline_depth` batches are in
+                # flight, providing backpressure to _gather_batch.
+                self._inflight.put((reqs, handles))
 
-    def _run_batch(self, reqs, controls):
+    def _completer(self):
+        while not (self._stop.is_set() and self._inflight.empty()):
+            try:
+                reqs, handles = self._inflight.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            try:
+                self._complete_batch(reqs, handles)
+            except Exception as e:
+                for req in reqs:
+                    if not req.future.done():
+                        req.future.set_exception(e)
+
+    # ------------------------------------------------------------- device
+
+    def _dispatch_batch(self, reqs, controls):
+        """Run FS2 and dispatch the vocoder; returns device handles without
+        forcing the waveform back to the host (the completer does that)."""
         d_ctl, p_ctl, e_ctl = controls
         L = max(len(r.phonemes) for r in reqs)
-        phonemes = np.zeros((len(reqs), L), np.int32)
-        src_lens = np.zeros((len(reqs),), np.int32)
+        B = next((b for b in self.batch_buckets if b >= len(reqs)),
+                 len(reqs))
+        phonemes = np.zeros((B, L), np.int32)
+        src_lens = np.ones((B,), np.int32)   # padded rows: 1 pad phoneme
         for i, r in enumerate(reqs):
             phonemes[i, : len(r.phonemes)] = r.phonemes
             src_lens[i] = len(r.phonemes)
-        speakers = [r.speaker for r in reqs]
+        speakers = [r.speaker for r in reqs] + [0] * (B - len(reqs))
 
         out = self.king.tts.generate(
             phonemes, duration_control=d_ctl, pitch_control=p_ctl,
             energy_control=e_ctl, speaker_name=speakers, src_lens=src_lens)
         mel_lens = np.asarray(out["mel_lens"])
+        if not self.return_wav:
+            return out["postnet_mel"], mel_lens
+        # Async dispatch: the float waveform stays on device; the vocoder
+        # computes while the dispatcher loops back for the next batch.
+        wav_dev = self.king.vocoder(out["postnet_mel"])
+        return wav_dev, mel_lens
+
+    def _complete_batch(self, reqs, handles):
+        dev, mel_lens = handles
         if self.return_wav:
             hop = self.king.cfg.preprocess.stft.hop_length
-            wavs = self.king.vocoder.generate(
-                out["postnet_mel"], lengths=mel_lens * hop)
-            for req, wav in zip(reqs, wavs):
-                req.future.set_result(wav)
-        else:
-            mel = np.asarray(out["postnet_mel"])
+            scale = self.king.cfg.vocoder.max_wav_value
+            wav = (np.asarray(dev, np.float32) * scale).astype(np.int16)
             for i, req in enumerate(reqs):
-                req.future.set_result((mel[i, : mel_lens[i]], int(mel_lens[i])))
+                req.future.set_result(wav[i, : mel_lens[i] * hop])
+        else:
+            mel = np.asarray(dev)
+            for i, req in enumerate(reqs):
+                req.future.set_result((mel[i, : mel_lens[i]],
+                                       int(mel_lens[i])))
