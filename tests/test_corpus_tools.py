@@ -72,3 +72,26 @@ def test_speaker_stats_and_filter(tmp_path):
     assert keep == ["spk_big"]
     keep2 = ct.filter_speakers(stats, min_utterances=20, remove=["spk_big"])
     assert keep2 == []
+
+
+def test_align_script_check(tmp_path):
+    """scripts/align.py check: reports and deletes unaligned utterances."""
+    import subprocess
+    import sys
+
+    spk = tmp_path / "raw" / "spk"
+    spk.mkdir(parents=True)
+    for base, aligned in (("a", True), ("b", False)):
+        _touch_wav(str(spk / f"{base}.wav"))
+        (spk / f"{base}.lab").write_text("x")
+        if aligned:
+            (spk / f"{base}.TextGrid").write_text("")
+    script = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                          "align.py")
+    out = subprocess.run(
+        [sys.executable, script, "check", "--corpus", str(tmp_path / "raw"),
+         "--delete"], capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr
+    assert "2 utterances, 1 without TextGrid" in out.stdout
+    assert not (spk / "b.wav").exists()
+    assert (spk / "a.wav").exists()
