@@ -46,3 +46,26 @@ def test_golden_fs2_outputs():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(out["postnet_mel"]),
                                z["out::postnet_mel"], rtol=1e-5, atol=1e-5)
+
+
+def test_golden_vocoder_outputs():
+    """Frozen tiny HiFi-GAN Generator (params, mel, wav) snapshot — guards
+    vocoder numerics across refactors and kernel swaps end-to-end, including
+    the fused MRF backends (which must reproduce the same waveform)."""
+    from flax.traverse_util import unflatten_dict
+
+    from tts_king_tpu.config import VocoderModelConfig
+    from tts_king_tpu.models.hifigan import Generator
+
+    z = np.load(os.path.join(os.path.dirname(FIXTURE), "golden_vocoder.npz"))
+    params = unflatten_dict(
+        {tuple(k.split("::", 2)[2].split("/")): z[k]
+         for k in z.files if k.startswith("var::")})
+    cfg = VocoderModelConfig(upsample_rates=[4, 4],
+                             upsample_kernel_sizes=[8, 8],
+                             upsample_initial_channel=32)
+    for backend, atol in (("xla", 1e-5), ("fused", 1e-5)):
+        voc = Generator(cfg, mrf_backend=backend)
+        wav = np.asarray(voc.apply({"params": params}, z["in::mel"]))
+        np.testing.assert_allclose(wav, z["out::wav"], rtol=1e-5, atol=atol,
+                                   err_msg=backend)

@@ -55,7 +55,7 @@ class TorchConv1d(nn.Module):
     packed: int = 1
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_params=False):
         in_ch = x.shape[-1] // self.packed
         shape = (self.kernel_size, in_ch // self.groups, self.features)
         if self.weight_norm:
@@ -67,6 +67,10 @@ class TorchConv1d(nn.Module):
         else:
             kernel = self.param("kernel", _normal_init(self.init_std), shape)
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if return_params:
+            # fused-kernel path: declare the identical param tree but hand
+            # the (folded) kernel/bias to the caller instead of computing.
+            return kernel, bias
         if self.packed > 1:
             from tts_king_tpu.ops.convs import packed_conv1d
 
@@ -126,7 +130,21 @@ class ResBlock1(nn.Module):
     packed: int = 1  # input space-to-depth packed by this factor
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, collect=False):
+        if collect:
+            # declare the same param tree, return {convs1_i/convs2_i ->
+            # {kernel, bias}} for the fused Pallas stage instead of running
+            out = {}
+            for i, d in enumerate(self.dilation):
+                for group, dd in (("convs1", d), ("convs2", 1)):
+                    k, b = TorchConv1d(
+                        self.channels, self.kernel_size,
+                        padding=get_padding(self.kernel_size, dd),
+                        dilation=dd, weight_norm=self.weight_norm,
+                        dtype=self.dtype, packed=self.packed,
+                        name=f"{group}_{i}")(x, return_params=True)
+                    out[f"{group}_{i}"] = {"kernel": k, "bias": b}
+            return out
         for i, d in enumerate(self.dilation):
             xt = nn.leaky_relu(x, LRELU_SLOPE)
             xt = TorchConv1d(self.channels, self.kernel_size,
@@ -177,6 +195,13 @@ class Generator(nn.Module):
     # over >=128 channels on the MXU (4-5x faster late stages; numerics
     # identical — verified against the unpacked path and the torch oracle).
     pack_small_channels: bool = True
+    # "xla" | "fused" | "fused_int8": MRF stage backend for stages whose
+    # packed width r*ch <= 128. "fused" runs the whole 18-conv stage in one
+    # Pallas kernel (VMEM-resident, exact vs the packed XLA path at f32);
+    # "fused_int8" additionally quantizes weights per-channel and
+    # activations per-conv in-kernel (ops/pallas/mrf_packed.py). Inference
+    # only (no custom VJP); training keeps "xla".
+    mrf_backend: str = "xla"
 
     @nn.compact
     def __call__(self, mel):
@@ -201,15 +226,41 @@ class Generator(nn.Module):
                     r //= 2
             if r > 1:
                 x = x.reshape(B, T // r, r * ch)
-            acc = None
-            for j, (rk, rd) in enumerate(zip(h.resblock_kernel_sizes,
-                                             h.resblock_dilation_sizes)):
-                out = resblock_cls(ch, rk, tuple(rd),
-                                   weight_norm=self.weight_norm,
-                                   dtype=self.dtype, packed=r,
-                                   name=f"resblocks_{i * num_kernels + j}")(x)
-                acc = out if acc is None else acc + out
-            x = acc / num_kernels
+            dil0 = tuple(h.resblock_dilation_sizes[0])
+            use_fused = (
+                self.mrf_backend != "xla" and h.resblock == "1"
+                and r * ch <= 128     # stage weights must fit VMEM
+                and all(tuple(rd) == dil0
+                        for rd in h.resblock_dilation_sizes))
+            if use_fused:
+                import jax as _jax
+
+                from tts_king_tpu.ops.pallas.mrf_packed import \
+                    mrf_stage_apply
+
+                branch_params = [
+                    resblock_cls(ch, rk, tuple(rd),
+                                 weight_norm=self.weight_norm,
+                                 dtype=self.dtype, packed=r,
+                                 name=f"resblocks_{i * num_kernels + j}")(
+                                     x, collect=True)
+                    for j, (rk, rd) in enumerate(zip(
+                        h.resblock_kernel_sizes, h.resblock_dilation_sizes))]
+                x = mrf_stage_apply(
+                    x, branch_params, tuple(h.resblock_kernel_sizes), dil0,
+                    r, mode="int8" if self.mrf_backend == "fused_int8"
+                    else "bf16",
+                    interpret=_jax.default_backend() == "cpu")
+            else:
+                acc = None
+                for j, (rk, rd) in enumerate(zip(h.resblock_kernel_sizes,
+                                                 h.resblock_dilation_sizes)):
+                    out = resblock_cls(ch, rk, tuple(rd),
+                                       weight_norm=self.weight_norm,
+                                       dtype=self.dtype, packed=r,
+                                       name=f"resblocks_{i * num_kernels + j}")(x)
+                    acc = out if acc is None else acc + out
+                x = acc / num_kernels
             if r > 1:
                 x = x.reshape(B, T, ch)
         # torch default leaky_relu slope 0.01 here (hifi/models.py:197).
