@@ -176,6 +176,31 @@ def bench_vocoder(cfg, voc, voc_vars, B=8, T=1000):
     return out
 
 
+def bench_vocoder_int8(cfg, voc_vars, B=8, T=1000):
+    """Config 2b: mel->wav with the int8-quantized fused MRF backend
+    (ops/pallas/mrf_packed.py). Reported for the record: measured ~0.9x of
+    the bf16 XLA packed path on v5e-lite (int8 MXU rate needs deeper
+    contractions than these stages have — DESIGN.md 3.0)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tts_king_tpu.models.hifigan import Generator
+
+    voc8 = Generator(cfg.vocoder, dtype=jnp.bfloat16,
+                     mrf_backend="fused_int8")
+    mel = jnp.asarray(np.random.RandomState(2).randn(B, T, 80), jnp.bfloat16)
+
+    @jax.jit
+    def fwd(v, m):
+        return jnp.sum(voc8.apply(v, m))
+
+    sec = _timeit(fwd, voc_vars, mel)
+    rtf = sec / (B * T * HOP / SAMPLE_RATE)
+    return {"metric": "hifigan_int8_mel_to_wav_rtf", "value": round(rtf, 6),
+            "unit": "rtf_per_chip", "vs_baseline": round(TARGET_RTF / rtf, 3),
+            "mel_frames_per_sec_per_chip": round(B * T / sec)}
+
+
 def bench_features(cfg):
     """Config 4: batched mel+energy+F0 extraction throughput (x realtime)."""
     import jax.numpy as jnp
@@ -325,6 +350,7 @@ def main():
         results = [
             bench_fs2_single(cfg, fs2, fs2_vars),
             bench_vocoder(cfg, voc, voc_vars),
+            bench_vocoder_int8(cfg, voc_vars),
             headline,
             bench_features(cfg),
             bench_train_step(cfg, fs2, fs2_vars),
