@@ -184,6 +184,10 @@ class ModelConfig:
     vocoder_use_cpu: bool = False
     # Fused Pallas attention kernel for inference (ops/pallas/attention.py).
     use_pallas_attention: bool = False
+    # Flash attention (stock Pallas TPU kernel, custom VJP): cuts the
+    # decoder's (B,H,T,T) probability traffic out of the HBM-bound train
+    # step (DESIGN.md 3.1). TPU-only; exact up to softmax reassociation.
+    use_flash_attention: bool = False
 
 
 @dataclass

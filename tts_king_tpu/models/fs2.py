@@ -51,6 +51,7 @@ class Encoder(nn.Module):
     vocab_size: int = VOCAB_SIZE
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, src_seq, pad_mask, deterministic: bool = True,
@@ -74,6 +75,7 @@ class Encoder(nn.Module):
             x = FFTBlock(self.d_model, self.n_head, d_k, d_k, self.d_inner,
                          self.kernel_size, self.dropout, dtype=self.dtype,
                          use_pallas=self.use_pallas,
+                         use_flash=self.use_flash,
                          name=f"layer_{i}")(x, pad_mask, deterministic)
         return x
 
@@ -91,6 +93,7 @@ class Decoder(nn.Module):
     max_seq_len: int = 1000
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, pad_mask, deterministic: bool = True,
@@ -113,6 +116,7 @@ class Decoder(nn.Module):
             x = FFTBlock(self.d_model, self.n_head, d_k, d_k, self.d_inner,
                          self.kernel_size, self.dropout, dtype=self.dtype,
                          use_pallas=self.use_pallas,
+                         use_flash=self.use_flash,
                          name=f"layer_{i}")(x, pad_mask, deterministic)
         return x, pad_mask
 
@@ -288,7 +292,8 @@ class FastSpeech2(nn.Module):
             d_model=tc.encoder_hidden, d_inner=tc.conv_filter_size,
             kernel_size=tuple(tc.conv_kernel_size), dropout=tc.encoder_dropout,
             max_seq_len=mc.max_seq_len, dtype=self.dtype,
-            use_pallas=mc.use_pallas_attention, name="encoder",
+            use_pallas=mc.use_pallas_attention,
+            use_flash=mc.use_flash_attention, name="encoder",
         )(texts, src_masks, deterministic, train)
 
         if mc.multi_speaker:
@@ -324,7 +329,8 @@ class FastSpeech2(nn.Module):
             d_model=tc.decoder_hidden, d_inner=tc.conv_filter_size,
             kernel_size=tuple(tc.conv_kernel_size), dropout=tc.decoder_dropout,
             max_seq_len=mc.max_seq_len, dtype=self.dtype,
-            use_pallas=mc.use_pallas_attention, name="decoder",
+            use_pallas=mc.use_pallas_attention,
+            use_flash=mc.use_flash_attention, name="decoder",
         )(va["x"], va["mel_mask"], deterministic, train)
 
         mel = nn.Dense(self.n_mel_channels, dtype=self.dtype,

@@ -50,6 +50,7 @@ class MultiHeadAttention(nn.Module):
     dropout: float = 0.1
     dtype: Any = jnp.float32
     use_pallas: bool = False  # fused VMEM-resident attention (inference)
+    use_flash: bool = False   # flash kernel w/ custom VJP (training too)
 
     @nn.compact
     def __call__(self, x, key_pad_mask, deterministic: bool = True):
@@ -62,7 +63,15 @@ class MultiHeadAttention(nn.Module):
         k = k.reshape(B, T, self.n_head, self.d_k)
         v = v.reshape(B, T, self.n_head, self.d_v)
 
-        if self.use_pallas and deterministic and self.d_k == self.d_v:
+        if self.use_flash and self.d_k == self.d_v:
+            from tts_king_tpu.ops.pallas.attention import (
+                flash_attention_padmask)
+
+            out = flash_attention_padmask(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), key_pad_mask)
+            out = out.transpose(0, 2, 1, 3)
+        elif self.use_pallas and deterministic and self.d_k == self.d_v:
             from tts_king_tpu.ops.pallas.attention import fused_attention
 
             out = fused_attention(
@@ -121,13 +130,15 @@ class FFTBlock(nn.Module):
     dropout: float = 0.1
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, pad_mask, deterministic: bool = True):
         not_pad = (~pad_mask)[:, :, None].astype(x.dtype)
         x = MultiHeadAttention(
             self.n_head, self.d_model, self.d_k, self.d_v, self.dropout,
-            dtype=self.dtype, use_pallas=self.use_pallas, name="slf_attn",
+            dtype=self.dtype, use_pallas=self.use_pallas,
+            use_flash=self.use_flash, name="slf_attn",
         )(x, pad_mask, deterministic)
         x = x * not_pad
         x = PositionwiseFeedForward(
