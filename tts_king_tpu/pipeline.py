@@ -267,6 +267,24 @@ class Vocoder:
             return [w[:n] for w, n in zip(wav, np.asarray(lengths))]
         return wav
 
+    def generate_long(self, mel, mesh, axis="dp"):
+        """ONE long utterance, its time axis sharded across mesh[axis] with
+        ICI halo exchange (ops/time_parallel.py) — audiobook-length audio
+        without gathering the whole mel on a single chip. mel: (1, T, M)
+        natural-log mel. Returns a (samples,) int16 waveform."""
+        from tts_king_tpu.ops.streaming import generator_receptive_field
+        from tts_king_tpu.ops.time_parallel import vocoder_time_sharded
+
+        mel = jnp.asarray(mel)
+        if self.kind == "MelGAN":
+            mel = mel / np.log(10.0)
+        up = int(np.prod(self.config.vocoder.upsample_rates))
+        halo = generator_receptive_field(self.config.vocoder)
+        wav = vocoder_time_sharded(self._apply, self.variables, mel, mesh,
+                                   halo_frames=halo, upsample=up, axis=axis)
+        wav = np.asarray(wav[0], np.float32)
+        return (wav * self.config.vocoder.max_wav_value).astype(np.int16)
+
 
 class TTSKing:
     """Text -> speech orchestrator (tts_king.py:18-66 equivalent)."""
