@@ -20,11 +20,11 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def run_load_measured(king, policy, n, rate, seed=0):
+def run_load_measured(king, policy, n, rate, seed=0, max_batch=16):
     """Open-loop Poisson load; latency = submit -> future done callback."""
     from tts_king_tpu.serve import SynthesisServer
 
-    server = SynthesisServer(king, max_batch=16, max_wait_ms=10,
+    server = SynthesisServer(king, max_batch=max_batch, max_wait_ms=10,
                              policy=policy)
     rng = np.random.RandomState(seed)
     gaps = rng.exponential(1.0 / rate, size=n)
@@ -44,7 +44,7 @@ def run_load_measured(king, policy, n, rate, seed=0):
         # singles warm the B=1 bucket.
         for ln in (12, 16, 24, 32, 40, 48):
             burst = [server.submit(phonemes=rng.randint(64, 200, size=(ln,)))
-                     for _ in range(16)]
+                     for _ in range(max_batch)]
             for f in burst:
                 f.result(timeout=900)
             server.submit(
@@ -73,6 +73,7 @@ def run_load_measured(king, policy, n, rate, seed=0):
     lat = np.asarray([done_at[i] - submit_at[i] for i in range(n)])
     return {
         "policy": policy,
+        "max_batch": max_batch,
         "n": n,
         "offered_rate_rps": rate,
         "throughput_rps": round(n / (t_end - t_start), 2),
@@ -88,6 +89,7 @@ def main():
     ap.add_argument("--rate", type=float, default=40.0)
     ap.add_argument("--policy", default="both",
                     choices=["both", "continuous", "window"])
+    ap.add_argument("--max-batch", type=int, default=16)
     ap.add_argument("--config", default=None)
     args = ap.parse_args()
 
@@ -113,7 +115,8 @@ def main():
     policies = (["continuous", "window"] if args.policy == "both"
                 else [args.policy])
     for policy in policies:
-        print(json.dumps(run_load_measured(king, policy, args.n, args.rate)))
+        print(json.dumps(run_load_measured(king, policy, args.n, args.rate,
+                                           max_batch=args.max_batch)))
 
 
 if __name__ == "__main__":

@@ -114,3 +114,31 @@ def test_ttsking_unknown_words_become_pauses(small_cfg, tmp_path):
     seq = preprocess_with_lexicon("привет xyzzy", lexicon)
     names = [symbols[i] for i in seq]
     assert "@sp" in names  # unknown word -> pause
+
+
+def test_bucket_escalation_no_truncation(small_cfg, monkeypatch):
+    """Regression: escalation must key off the RAW predicted length —
+    mel_lens is clamped to the bucket in-model, so checking it could never
+    trigger and under-guessed utterances were silently truncated (the
+    reference never truncates at inference, modules.py:220-252)."""
+    import jax.numpy as jnp
+
+    import tts_king_tpu.pipeline as pipeline
+    from tts_king_tpu.pipeline import TTSKing
+
+    king = TTSKing(small_cfg)
+    dp = king.tts.variables["params"]["variance_adaptor"][
+        "duration_predictor"]["linear_layer"]
+    dp["bias"] = jnp.full_like(dp["bias"], 1.5)  # ~4.5 frames/phoneme
+
+    phonemes = np.random.RandomState(3).randint(10, 100, size=(1, 40))
+    ref = king.tts.generate(phonemes)         # good first guess (8 f/ph)
+    ref_len = int(np.asarray(ref["mel_lens"])[0])
+    assert ref_len > 128
+
+    # Force a first guess that overflows bucket 128: must escalate, not
+    # truncate.
+    monkeypatch.setattr(pipeline, "_FRAMES_PER_PHONE_GUESS", 1.0)
+    out = king.tts.generate(phonemes)
+    assert int(np.asarray(out["mel_lens"])[0]) == ref_len
+    assert out["postnet_mel"].shape[1] >= ref_len

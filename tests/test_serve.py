@@ -116,3 +116,57 @@ def test_per_item_speakers(king):
         np.array([[70, 80, 90, 0], [70, 80, 0, 0]]),
         speaker_name=[0, 2], src_lens=[3, 2])
     assert np.asarray(out["postnet_mel"]).shape[0] == 2
+
+
+def test_length_groups_split():
+    """Big mixed-length batches split at phoneme-bucket boundaries; small
+    batches and the tail group stay whole."""
+    from tts_king_tpu.serve import SynthesisServer, _Request
+
+    def reqs(lengths):
+        return [_Request(np.zeros((n,), np.int32), 0, (1.0, 1.0, 1.0))
+                for n in lengths]
+
+    # <=4 requests: never split
+    small = reqs([10, 60])
+    assert SynthesisServer._length_groups(small) == [small]
+
+    # 8 requests in two clear buckets (<=16 and <=64): two groups
+    mixed = reqs([10, 12, 14, 15, 50, 55, 60, 62])
+    groups = SynthesisServer._length_groups(mixed)
+    assert [sorted(len(r.phonemes) for r in g) for g in groups] == [
+        [10, 12, 14, 15], [50, 55, 60, 62]]
+
+    # a tiny large-bucket tail dispatches alone rather than padding the
+    # small group up
+    tail = reqs([10, 11, 12, 13, 100])
+    groups = SynthesisServer._length_groups(tail)
+    assert [len(g) for g in groups] == [4, 1]
+
+
+def test_deferred_overflow_retry(king, monkeypatch):
+    """When the duration predictor overflows the guessed mel bucket, the
+    completer retries at the model cap and still resolves every future with
+    the same audio lengths the synchronous path produces."""
+    import tts_king_tpu.pipeline as pipeline
+    from tts_king_tpu.serve import SynthesisServer
+
+    rng = np.random.RandomState(3)
+    phonemes = rng.randint(10, 100, size=(40,))
+
+    # Synchronous reference (escalates buckets before returning).
+    ref = king.tts.generate(phonemes[None], speaker_name=0)
+    ref_len = int(np.asarray(ref["mel_lens"])[0])
+
+    # Force the server's first guess to a bucket the prediction overflows
+    # (biased duration head gives ~4.5 frames/phoneme -> ~180 > 128).
+    monkeypatch.setattr(pipeline, "_FRAMES_PER_PHONE_GUESS", 1.0)
+    assert ref_len > 128, "test premise: prediction must overflow bucket 128"
+
+    server = SynthesisServer(king, max_batch=4)
+    try:
+        wav = server.submit(phonemes=phonemes).result(timeout=300)
+    finally:
+        server.close()
+    hop = king.cfg.preprocess.stft.hop_length
+    assert wav.shape == (ref_len * hop,)

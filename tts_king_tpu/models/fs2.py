@@ -222,16 +222,24 @@ class VarianceAdaptor(nn.Module):
         if duration_target is not None:
             x, mel_len = length_regulate(x, duration_target, max_mel_len)
             duration_rounded = duration_target
+            mel_len_raw = mel_len
         else:
             duration_rounded = round_durations(log_duration_prediction, d_control)
             # Padded phonemes predict logd=0 -> round(e^0-1)=0 frames: no
             # masking needed, matching the reference's masked_fill(0.0).
             x, mel_len = length_regulate(x, duration_rounded, max_mel_len)
+            # Raw (unclamped) total frames: the pipeline compares it to the
+            # static mel bucket to decide escalation — comparing the CLAMPED
+            # value can never exceed the bucket, which silently truncated
+            # under-guessed utterances (the reference expands dynamically
+            # and never truncates at inference, modules.py:220-252).
+            mel_len_raw = mel_len
             mel_len = jnp.minimum(mel_len, max_mel_len)
             mel_mask = mask_from_lengths(mel_len, max_mel_len)
 
         return {
             "x": x,
+            "mel_len_raw": mel_len_raw,
             "pitch_prediction": pitch_prediction,
             "energy_prediction": energy_prediction,
             "log_duration_prediction": log_duration_prediction,
@@ -356,6 +364,7 @@ class FastSpeech2(nn.Module):
             "mel_masks": mel_masks_out,
             "src_lens": src_lens,
             "mel_lens": va["mel_len"],
+            "mel_lens_raw": va["mel_len_raw"],
             "postnet_mel": postnet_mel,
             "pitch_mean": va["pitch_mean"],
             "pitch_std": va["pitch_std"],

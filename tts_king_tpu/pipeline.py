@@ -126,12 +126,19 @@ class AcousticModel:
 
     def generate(self, phonemes, duration_control=1.0, pitch_control=1.0,
                  energy_control=1.0, speaker_name=None, max_mel_len=None,
-                 src_lens=None):
+                 src_lens=None, defer_overflow=False):
         """phonemes: (B, L) int array -> dict with postnet mel + mel lens.
 
         Pads L up to a bucket; picks/escalates the mel bucket until the
         predicted durations fit (or the model's max_seq_len is reached).
         src_lens: per-item phoneme counts for ragged batches (default: all L).
+
+        defer_overflow=True skips the device sync that checks whether the
+        predicted lengths fit the first mel bucket and returns immediately
+        with `out["mel_bucket"]` set — the caller checks `mel_lens` against
+        it whenever it fetches results anyway and retries the (rare)
+        overflow itself. This keeps the serving dispatch path free of
+        host<->device round trips (serve.py pipelining).
         """
         phonemes = np.asarray(phonemes)
         B, L = phonemes.shape
@@ -172,7 +179,14 @@ class AcousticModel:
                      max_mel_len=T,
                      p_control=pitch_control, e_control=energy_control,
                      d_control=duration_control)
-            if int(jnp.max(out["mel_lens"][:B])) <= T:
+            if defer_overflow:
+                out = dict(out)
+                out["mel_bucket"] = T
+                break
+            # Escalate on the RAW (unclamped) predicted length — mel_lens
+            # itself is clamped to T in-model, so comparing it could never
+            # detect an under-guessed bucket (silent truncation bug).
+            if int(jnp.max(out["mel_lens_raw"][:B])) <= T:
                 break
         if out["postnet_mel"].shape[0] != B:
             out = jax.tree.map(lambda a: a[:B] if hasattr(a, "shape")

@@ -139,16 +139,51 @@ class SynthesisServer:
             except queue.Empty:
                 break
         # ...and while the pipeline is full (dispatch would block anyway),
-        # keep admitting arrivals into this batch for free.
+        # keep admitting arrivals into this batch for free. Block in
+        # coarse 50 ms waits: on a single-core host a fine-grained poll
+        # (2 ms) burns the CPU the dispatch/completion threads need and
+        # measurably cuts overload throughput (scripts/bench_serve.py).
         while (len(batch) < self.max_batch and self._inflight.full()
                and not self._stop.is_set()):
             try:
-                batch.append(self._queue.get(timeout=0.002))
+                batch.append(self._queue.get(timeout=0.05))
             except queue.Empty:
                 pass
         return batch
 
     # ------------------------------------------------------------ threads
+
+    @staticmethod
+    def _length_groups(reqs):
+        """Split one formed batch at phoneme-bucket boundaries when it is
+        large enough to amortize extra dispatches (the serving analogue of
+        the training dataset's sorted group batching): padded compute is
+        B x bucket(max L), so a 12-phoneme item batched with a 48-phoneme
+        one costs 4x its own compute. Under load (deep queue -> big
+        batches) splitting saves more device time than the extra dispatch
+        costs — which the depth-2 pipeline hides anyway; small batches
+        stay whole."""
+        from tts_king_tpu.pipeline import _phone_bucket
+
+        if len(reqs) <= 4:
+            return [reqs]
+        groups = {}
+        for r in reqs:
+            groups.setdefault(_phone_bucket(len(r.phonemes)), []).append(r)
+        # merge tiny tail groups upward so no dispatch runs near-empty
+        out = []
+        pending = []
+        for bucket in sorted(groups):
+            pending.extend(groups[bucket])
+            if len(pending) >= 4:
+                out.append(pending)
+                pending = []
+        if pending:
+            # tail group dispatches on its own: merging it into an earlier
+            # (smaller-bucket) group would pad that whole group up to the
+            # tail's bucket, undoing the split's savings
+            out.append(pending)
+        return out
 
     def _dispatcher(self):
         while not self._stop.is_set():
@@ -158,7 +193,10 @@ class SynthesisServer:
             groups = {}
             for req in batch:
                 groups.setdefault(req.controls, []).append(req)
-            for controls, reqs in groups.items():
+            groups = [(controls, sub)
+                      for controls, reqs in groups.items()
+                      for sub in self._length_groups(reqs)]
+            for controls, reqs in groups:
                 try:
                     handles = self._dispatch_batch(reqs, controls)
                 except Exception as e:
@@ -185,9 +223,12 @@ class SynthesisServer:
 
     # ------------------------------------------------------------- device
 
-    def _dispatch_batch(self, reqs, controls):
+    def _dispatch_batch(self, reqs, controls, defer=True):
         """Run FS2 and dispatch the vocoder; returns device handles without
-        forcing the waveform back to the host (the completer does that)."""
+        forcing ANYTHING back to the host — no round trip on this path.
+        The overflow check generate() would sync on is deferred to the
+        completer (it fetches mel_lens with the results anyway and retries
+        the rare overflowed batch synchronously, defer=False)."""
         d_ctl, p_ctl, e_ctl = controls
         L = max(len(r.phonemes) for r in reqs)
         B = next((b for b in self.batch_buckets if b >= len(reqs)),
@@ -201,17 +242,30 @@ class SynthesisServer:
 
         out = self.king.tts.generate(
             phonemes, duration_control=d_ctl, pitch_control=p_ctl,
-            energy_control=e_ctl, speaker_name=speakers, src_lens=src_lens)
-        mel_lens = np.asarray(out["mel_lens"])
+            energy_control=e_ctl, speaker_name=speakers, src_lens=src_lens,
+            defer_overflow=defer)
+        # sync mode escalated buckets already: nothing to re-check, so
+        # report the realized mel length as the "bucket". Overflow is
+        # detected on the RAW predicted lengths (mel_lens is clamped).
+        bucket = out.get("mel_bucket", out["postnet_mel"].shape[1])
         if not self.return_wav:
-            return out["postnet_mel"], mel_lens
+            return out["postnet_mel"], out["mel_lens_raw"], bucket, controls
         # Async dispatch: the float waveform stays on device; the vocoder
         # computes while the dispatcher loops back for the next batch.
         wav_dev = self.king.vocoder(out["postnet_mel"])
-        return wav_dev, mel_lens
+        return wav_dev, out["mel_lens_raw"], bucket, controls
 
     def _complete_batch(self, reqs, handles):
-        dev, mel_lens = handles
+        dev, mel_lens_dev, bucket, controls = handles
+        raw = np.asarray(mel_lens_dev)[: len(reqs)]
+        if raw.max(initial=0) > bucket:
+            # Rare: the duration predictor overflowed the guessed mel
+            # bucket. Retry with the synchronous bucket escalation (the
+            # same path direct generate() calls take), completing inline.
+            dev, mel_lens_dev, bucket, _ = self._dispatch_batch(
+                reqs, controls, defer=False)
+            raw = np.asarray(mel_lens_dev)[: len(reqs)]
+        mel_lens = np.minimum(raw, bucket)
         if self.return_wav:
             hop = self.king.cfg.preprocess.stft.hop_length
             scale = self.king.cfg.vocoder.max_wav_value
