@@ -35,3 +35,5 @@ def test_multihost_train_step_matches_single_process():
     assert report["global_devices"] == 8
     assert report["mesh"] == "dp4xtp2"
     assert report["matches_single_process"] is True
+    # sharded-state orbax save/restore across the two processes
+    assert report["distributed_checkpoint"] is True
