@@ -109,15 +109,16 @@ def train(cfg: TTSConfig, max_steps: Optional[int] = None,
         # persist an emergency checkpoint so the run is resumable, then
         # re-raise for visibility.
         try:
-            save_train_state(tc.ckpt_path, step,
-                             jax.device_get(state.variables()),
-                             jax.device_get(state.opt_state))
+            # device arrays go straight to orbax: on a multi-host mesh,
+            # device_get of non-addressable shards would fail, and orbax
+            # coordinates sharded saves natively (scripts/multihost_smoke.py)
+            save_train_state(tc.ckpt_path, step, state.variables(),
+                             state.opt_state)
             logger.log(step, {"emergency_checkpoint": 1.0}, prefix="failure")
         finally:
             logger.close()
         raise
-    save_train_state(tc.ckpt_path, step, jax.device_get(state.variables()),
-                     jax.device_get(state.opt_state))
+    save_train_state(tc.ckpt_path, step, state.variables(), state.opt_state)
     logger.close()
     return state
 
@@ -148,10 +149,8 @@ def _run_epochs(cfg, state, step, total, epoch, train_ds, val_ds, train_step,
             if step % tc.step.synth_step == 0 and vocoder is not None:
                 _synth_preview(cfg, model, state, val_ds, vocoder, step)
             if step % tc.step.save_step == 0:
-                save_train_state(
-                    tc.ckpt_path, step,
-                    jax.device_get(state.variables()),
-                    jax.device_get(state.opt_state))
+                save_train_state(tc.ckpt_path, step, state.variables(),
+                                 state.opt_state)
             if step >= total:
                 done = True
                 break
