@@ -101,3 +101,35 @@ def test_pipeline_generate_long():
     # int16 after identical f32 math: allow +-1 LSB
     assert np.max(np.abs(wav[edge:-edge].astype(np.int32)
                          - full[edge:-edge].astype(np.int32))) <= 1
+
+
+def test_time_sharded_melgan_matches_full_pass():
+    """The MelGAN generator (reflect-padded resnet stacks, dilations 3^j)
+    has a ~10-mel-frame one-sided receptive field — smaller than the
+    HiFi-GAN-derived halo generate_long uses, so the same halo is
+    conservative-safe. Pin that: interior samples bit-match the full pass."""
+    import jax
+    import jax.numpy as jnp
+
+    from tts_king_tpu.models.melgan import MelGANGenerator
+    from tts_king_tpu.ops.time_parallel import vocoder_time_sharded
+    from tts_king_tpu.parallel.mesh import build_mesh
+
+    voc = MelGANGenerator(ngf=8, n_residual_layers=2, ratios=(4, 4))
+    up = 16
+    T = 328  # not divisible by 8
+    mel = jnp.asarray(np.random.RandomState(2).randn(1, T, 80), jnp.float32)
+    variables = voc.init(jax.random.PRNGKey(0), mel[:, :16])
+
+    full = np.asarray(voc.apply(variables, mel))[0]
+
+    mesh = build_mesh(dp=8, tp=1)
+    halo = 16
+    wav = np.asarray(vocoder_time_sharded(
+        lambda v, m: voc.apply(v, m), variables, mel, mesh,
+        halo_frames=halo, upsample=up))[0]
+
+    assert wav.shape == full.shape == (T * up,)
+    edge = halo * up
+    np.testing.assert_allclose(wav[edge:-edge], full[edge:-edge],
+                               rtol=1e-5, atol=1e-5)
