@@ -119,9 +119,12 @@ def test_per_item_speakers(king):
 
 
 def test_length_groups_split():
-    """Big mixed-length batches split at phoneme-bucket boundaries; small
-    batches and the tail group stay whole."""
+    """Mixed-length batches split at phoneme-bucket boundaries only when
+    that lowers total padded (batch-bucket x length-bucket) compute."""
     from tts_king_tpu.serve import SynthesisServer, _Request
+
+    server = object.__new__(SynthesisServer)
+    server.batch_buckets = [1, 4, 16]
 
     def reqs(lengths):
         return [_Request(np.zeros((n,), np.int32), 0, (1.0, 1.0, 1.0))
@@ -129,19 +132,27 @@ def test_length_groups_split():
 
     # <=4 requests: never split
     small = reqs([10, 60])
-    assert SynthesisServer._length_groups(small) == [small]
+    assert server._length_groups(small) == [small]
 
-    # 8 requests in two clear buckets (<=16 and <=64): two groups
+    # 8 requests in two clear buckets (<=16 and <=64): split halves the
+    # padded cost (4x16 + 4x64 < 16x64)
     mixed = reqs([10, 12, 14, 15, 50, 55, 60, 62])
-    groups = SynthesisServer._length_groups(mixed)
+    groups = server._length_groups(mixed)
     assert [sorted(len(r.phonemes) for r in g) for g in groups] == [
         [10, 12, 14, 15], [50, 55, 60, 62]]
 
     # a tiny large-bucket tail dispatches alone rather than padding the
     # small group up
     tail = reqs([10, 11, 12, 13, 100])
-    groups = SynthesisServer._length_groups(tail)
+    groups = server._length_groups(tail)
     assert [len(g) for g in groups] == [4, 1]
+
+    # deep-overload shape: 16 requests over adjacent buckets whose groups
+    # would each still pad to B=16 — splitting would TRIPLE the padded
+    # cost, so the batch stays whole
+    overload = reqs([12, 14, 12, 15, 13, 25, 28, 30, 27, 26, 29,
+                     50, 55, 60, 62, 58])
+    assert server._length_groups(overload) == [overload]
 
 
 def test_deferred_overflow_retry(king, monkeypatch):

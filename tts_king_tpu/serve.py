@@ -11,10 +11,15 @@ Scheduling (policy="continuous", the default):
     batches grow to max_batch by themselves without adding latency;
   * while the in-flight pipeline is full, arrivals keep being admitted into
     the forming batch (that waiting is free — dispatch would block anyway);
-  * dispatch and completion run on separate threads with a bounded
-    in-flight queue (depth 2): the vocoder of batch i runs on-device while
-    FS2 of batch i+1 is dispatched and results of batch i-1 are fetched —
-    the host<->device round trip and the FS2/vocoder stages overlap.
+  * large mixed-length batches split at phoneme-bucket boundaries (padded
+    compute is B x bucket(max L));
+  * a THREE-stage thread pipeline with bounded queues: FS2 dispatch (no
+    host round trip — overflow checks are deferred), a vocoder stage that
+    syncs on FS2(i) while FS2(i+1) dispatches, slices the mel to the
+    tightest bucket the realized lengths allow (the FS2 bucket is a
+    conservative 8-frames/phoneme guess; vocoding it whole wastes ~2x
+    vocoder compute) and dispatches the vocoder, and a completer fetching
+    wav(i-1) — dispatch, FS2, vocoder and fetch all overlap.
 
 policy="window" reproduces the round-1 scheduler (wait out max_wait_ms per
 batch, fully synchronous) for A/B benchmarking (scripts/bench_serve.py).
@@ -66,10 +71,14 @@ class SynthesisServer:
         self.batch_buckets = sorted(batch_buckets or
                                     {1, 4, max_batch} | {max_batch})
         self._queue: "queue.Queue[_Request]" = queue.Queue()
+        # 3-stage pipeline: dispatcher -> _mid (FS2 in flight) -> vocoder
+        # thread -> _inflight (vocoder in flight) -> completer.
+        self._mid: "queue.Queue" = queue.Queue(maxsize=pipeline_depth)
         self._inflight: "queue.Queue" = queue.Queue(maxsize=pipeline_depth)
         self._stop = threading.Event()
         self._threads = [
             threading.Thread(target=self._dispatcher, daemon=True),
+            threading.Thread(target=self._vocoder_stage, daemon=True),
             threading.Thread(target=self._completer, daemon=True),
         ]
         for t in self._threads:
@@ -143,7 +152,7 @@ class SynthesisServer:
         # coarse 50 ms waits: on a single-core host a fine-grained poll
         # (2 ms) burns the CPU the dispatch/completion threads need and
         # measurably cuts overload throughput (scripts/bench_serve.py).
-        while (len(batch) < self.max_batch and self._inflight.full()
+        while (len(batch) < self.max_batch and self._mid.full()
                and not self._stop.is_set()):
             try:
                 batch.append(self._queue.get(timeout=0.05))
@@ -153,16 +162,16 @@ class SynthesisServer:
 
     # ------------------------------------------------------------ threads
 
-    @staticmethod
-    def _length_groups(reqs):
-        """Split one formed batch at phoneme-bucket boundaries when it is
-        large enough to amortize extra dispatches (the serving analogue of
-        the training dataset's sorted group batching): padded compute is
-        B x bucket(max L), so a 12-phoneme item batched with a 48-phoneme
-        one costs 4x its own compute. Under load (deep queue -> big
-        batches) splitting saves more device time than the extra dispatch
-        costs — which the depth-2 pipeline hides anyway; small batches
-        stay whole."""
+    def _length_groups(self, reqs):
+        """Split one formed batch at phoneme-bucket boundaries ONLY when
+        that lowers total padded compute (the serving analogue of the
+        training dataset's sorted group batching). Padded compute is
+        bucket(B) x bucket(max L): a 12-phoneme item batched with a
+        48-phoneme one costs 4x its own compute — but a split whose
+        sub-groups still pad up to the same batch bucket (e.g. 16 mixed
+        requests -> three groups of ~5, each padded to B=16) TRIPLES the
+        cost instead, which collapsed throughput under deep overload.
+        The explicit cost test handles both regimes."""
         from tts_king_tpu.pipeline import _phone_bucket
 
         if len(reqs) <= 4:
@@ -170,20 +179,30 @@ class SynthesisServer:
         groups = {}
         for r in reqs:
             groups.setdefault(_phone_bucket(len(r.phonemes)), []).append(r)
-        # merge tiny tail groups upward so no dispatch runs near-empty
-        out = []
+        if len(groups) == 1:
+            return [reqs]
+        # merge tiny groups upward so no dispatch runs near-empty
+        split = []
         pending = []
         for bucket in sorted(groups):
             pending.extend(groups[bucket])
             if len(pending) >= 4:
-                out.append(pending)
+                split.append(pending)
                 pending = []
         if pending:
             # tail group dispatches on its own: merging it into an earlier
             # (smaller-bucket) group would pad that whole group up to the
             # tail's bucket, undoing the split's savings
-            out.append(pending)
-        return out
+            split.append(pending)
+
+        def cost(rs):
+            b = next((x for x in self.batch_buckets if x >= len(rs)),
+                     len(rs))
+            return b * _phone_bucket(max(len(r.phonemes) for r in rs))
+
+        if sum(cost(g) for g in split) < cost(reqs):
+            return split
+        return [reqs]
 
     def _dispatcher(self):
         while not self._stop.is_set():
@@ -198,18 +217,38 @@ class SynthesisServer:
                       for sub in self._length_groups(reqs)]
             for controls, reqs in groups:
                 try:
-                    handles = self._dispatch_batch(reqs, controls)
+                    handles = self._fs2_batch(reqs, controls)
                 except Exception as e:
                     for req in reqs:
                         if not req.future.done():
                             req.future.set_exception(e)
                     continue
-                # Bounded: blocks when `pipeline_depth` batches are in
+                # Bounded: blocks when `pipeline_depth` FS2 batches are in
                 # flight, providing backpressure to _gather_batch.
-                self._inflight.put((reqs, handles))
+                self._mid.put((reqs, handles))
+
+    def _vocoder_stage(self):
+        """Middle pipeline stage: waits for FS2(i) (the only host sync,
+        overlapped with FS2(i+1) dispatch and wav(i-1) fetch on the other
+        threads), handles the rare mel-bucket overflow, slices the mel to
+        the tightest length bucket the REALIZED lengths allow — the FS2
+        bucket is a conservative 8-frames/phoneme guess, so vocoding it
+        whole wastes ~2x vocoder compute — and dispatches the vocoder."""
+        while not (self._stop.is_set() and self._mid.empty()):
+            try:
+                reqs, handles = self._mid.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            try:
+                self._inflight.put((reqs, self._vocode_batch(reqs, handles)))
+            except Exception as e:
+                for req in reqs:
+                    if not req.future.done():
+                        req.future.set_exception(e)
 
     def _completer(self):
-        while not (self._stop.is_set() and self._inflight.empty()):
+        while not (self._stop.is_set() and self._mid.empty()
+                   and self._inflight.empty()):
             try:
                 reqs, handles = self._inflight.get(timeout=0.05)
             except queue.Empty:
@@ -223,12 +262,10 @@ class SynthesisServer:
 
     # ------------------------------------------------------------- device
 
-    def _dispatch_batch(self, reqs, controls, defer=True):
-        """Run FS2 and dispatch the vocoder; returns device handles without
-        forcing ANYTHING back to the host — no round trip on this path.
-        The overflow check generate() would sync on is deferred to the
-        completer (it fetches mel_lens with the results anyway and retries
-        the rare overflowed batch synchronously, defer=False)."""
+    def _fs2_batch(self, reqs, controls, defer=True):
+        """Pack and dispatch FS2 WITHOUT forcing anything to the host — the
+        overflow check generate() would sync on is deferred to the vocoder
+        stage (defer_overflow)."""
         d_ctl, p_ctl, e_ctl = controls
         L = max(len(r.phonemes) for r in reqs)
         B = next((b for b in self.batch_buckets if b >= len(reqs)),
@@ -248,24 +285,32 @@ class SynthesisServer:
         # report the realized mel length as the "bucket". Overflow is
         # detected on the RAW predicted lengths (mel_lens is clamped).
         bucket = out.get("mel_bucket", out["postnet_mel"].shape[1])
-        if not self.return_wav:
-            return out["postnet_mel"], out["mel_lens_raw"], bucket, controls
-        # Async dispatch: the float waveform stays on device; the vocoder
-        # computes while the dispatcher loops back for the next batch.
-        wav_dev = self.king.vocoder(out["postnet_mel"])
-        return wav_dev, out["mel_lens_raw"], bucket, controls
+        return out, bucket, controls
 
-    def _complete_batch(self, reqs, handles):
-        dev, mel_lens_dev, bucket, controls = handles
-        raw = np.asarray(mel_lens_dev)[: len(reqs)]
+    def _vocode_batch(self, reqs, handles):
+        from tts_king_tpu.pipeline import MEL_BUCKETS, _bucket
+
+        out, bucket, controls = handles
+        raw = np.asarray(out["mel_lens_raw"])[: len(reqs)]
         if raw.max(initial=0) > bucket:
             # Rare: the duration predictor overflowed the guessed mel
             # bucket. Retry with the synchronous bucket escalation (the
-            # same path direct generate() calls take), completing inline.
-            dev, mel_lens_dev, bucket, _ = self._dispatch_batch(
-                reqs, controls, defer=False)
-            raw = np.asarray(mel_lens_dev)[: len(reqs)]
+            # same path direct generate() calls take).
+            out, bucket, controls = self._fs2_batch(reqs, controls,
+                                                    defer=False)
+            raw = np.asarray(out["mel_lens_raw"])[: len(reqs)]
         mel_lens = np.minimum(raw, bucket)
+        mel = out["postnet_mel"]
+        tight = min(_bucket(int(mel_lens.max(initial=1)), MEL_BUCKETS),
+                    mel.shape[1])
+        if tight < mel.shape[1]:
+            mel = mel[:, :tight]      # device-side slice, stays async
+        if not self.return_wav:
+            return mel, mel_lens
+        return self.king.vocoder(mel), mel_lens
+
+    def _complete_batch(self, reqs, handles):
+        dev, mel_lens = handles
         if self.return_wav:
             hop = self.king.cfg.preprocess.stft.hop_length
             scale = self.king.cfg.vocoder.max_wav_value
