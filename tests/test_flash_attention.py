@@ -107,3 +107,58 @@ def test_train_step_with_flash_attention_matches():
             losses[name] = float(out.total)
 
     assert abs(losses["flash"] - losses["xla"]) < 1e-4, losses
+
+
+def test_train_step_with_bf16_probs_close():
+    """attention_probs_bf16 changes only the stored/matmul'd probability
+    precision: one tiny train step's loss must stay within bf16 rounding
+    of the f32 path (TPU matmuls already consume bf16 inputs at default
+    precision, so on-device the forward change is even smaller)."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    import __graft_entry__
+    from tts_king_tpu.config import OptimizerConfig
+    from tts_king_tpu.models.fs2 import FastSpeech2
+    from tts_king_tpu.train.state import create_train_state, make_optimizer
+    from tts_king_tpu.train.step import make_train_step
+
+    mc = __graft_entry__._tiny_model_config()
+    opt = make_optimizer(OptimizerConfig(grad_acc_step=1), 32)
+
+    acc, B, L, T = 1, 2, 8, 16
+    rng = np.random.RandomState(0)
+    d = rng.randint(1, 3, (acc, B, L))
+    superbatch = dict(
+        speakers=rng.randint(0, 4, (acc, B)).astype(np.int32),
+        texts=rng.randint(1, 200, (acc, B, L)).astype(np.int32),
+        src_lens=np.full((acc, B), L, np.int32),
+        mels=rng.randn(acc, B, T, 80).astype(np.float32),
+        mel_lens=d.sum(-1).astype(np.int32),
+        energies=rng.randn(acc, B, L).astype(np.float32),
+        durations=d.astype(np.int32),
+        pitches_raw=rng.randn(acc, B, L).astype(np.float32),
+        pitches_cwt=rng.randn(acc, B, L, 11).astype(np.float32),
+        pitches_mean=rng.randn(acc, B).astype(np.float32),
+        pitches_std=rng.rand(acc, B).astype(np.float32),
+    )
+    sample = (superbatch["speakers"][0], superbatch["texts"][0],
+              superbatch["src_lens"][0])
+
+    losses = {}
+    for name, m in (
+            ("f32", mc),
+            ("bf16", dataclasses.replace(mc, attention_probs_bf16=True))):
+        model = FastSpeech2(
+            model_config=m, n_speakers=4, pitch_min=-2.0, pitch_max=2.0,
+            energy_min=-2.0, energy_max=2.0)
+        state = create_train_state(model, opt, jax.random.PRNGKey(0), sample)
+        _, out = make_train_step(model, opt)(
+            state, superbatch, jax.random.PRNGKey(1))
+        losses[name] = float(out.total)
+
+    assert np.isfinite(losses["bf16"])
+    assert abs(losses["bf16"] - losses["f32"]) < 2e-2 * abs(losses["f32"]), (
+        losses)

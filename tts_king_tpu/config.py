@@ -188,6 +188,13 @@ class ModelConfig:
     # decoder's (B,H,T,T) probability traffic out of the HBM-bound train
     # step (DESIGN.md 3.1). TPU-only; exact up to softmax reassociation.
     use_flash_attention: bool = False
+    # Store attention probabilities in bf16: halves the train step's
+    # largest autodiff residual stream with no change to f32 softmax or
+    # accumulation (TPU matmuls consume bf16 inputs at default precision).
+    # MEASURED SLOWER at shipped sizes (81 ms vs 68 ms sustained at
+    # bs16x4 — the cast breaks XLA fusions for more than the bytes it
+    # saves; DESIGN.md 3.3); numerics-verified opt-in for other shapes.
+    attention_probs_bf16: bool = False
 
 
 @dataclass

@@ -52,6 +52,7 @@ class Encoder(nn.Module):
     dtype: Any = jnp.float32
     use_pallas: bool = False
     use_flash: bool = False
+    probs_bf16: bool = False
 
     @nn.compact
     def __call__(self, src_seq, pad_mask, deterministic: bool = True,
@@ -76,6 +77,7 @@ class Encoder(nn.Module):
                          self.kernel_size, self.dropout, dtype=self.dtype,
                          use_pallas=self.use_pallas,
                          use_flash=self.use_flash,
+                         probs_bf16=self.probs_bf16,
                          name=f"layer_{i}")(x, pad_mask, deterministic)
         return x
 
@@ -94,6 +96,7 @@ class Decoder(nn.Module):
     dtype: Any = jnp.float32
     use_pallas: bool = False
     use_flash: bool = False
+    probs_bf16: bool = False
 
     @nn.compact
     def __call__(self, x, pad_mask, deterministic: bool = True,
@@ -117,6 +120,7 @@ class Decoder(nn.Module):
                          self.kernel_size, self.dropout, dtype=self.dtype,
                          use_pallas=self.use_pallas,
                          use_flash=self.use_flash,
+                         probs_bf16=self.probs_bf16,
                          name=f"layer_{i}")(x, pad_mask, deterministic)
         return x, pad_mask
 
@@ -301,7 +305,8 @@ class FastSpeech2(nn.Module):
             kernel_size=tuple(tc.conv_kernel_size), dropout=tc.encoder_dropout,
             max_seq_len=mc.max_seq_len, dtype=self.dtype,
             use_pallas=mc.use_pallas_attention,
-            use_flash=mc.use_flash_attention, name="encoder",
+            use_flash=mc.use_flash_attention,
+            probs_bf16=mc.attention_probs_bf16, name="encoder",
         )(texts, src_masks, deterministic, train)
 
         if mc.multi_speaker:
@@ -338,7 +343,8 @@ class FastSpeech2(nn.Module):
             kernel_size=tuple(tc.conv_kernel_size), dropout=tc.decoder_dropout,
             max_seq_len=mc.max_seq_len, dtype=self.dtype,
             use_pallas=mc.use_pallas_attention,
-            use_flash=mc.use_flash_attention, name="decoder",
+            use_flash=mc.use_flash_attention,
+            probs_bf16=mc.attention_probs_bf16, name="decoder",
         )(va["x"], va["mel_mask"], deterministic, train)
 
         mel = nn.Dense(self.n_mel_channels, dtype=self.dtype,

@@ -51,6 +51,7 @@ class MultiHeadAttention(nn.Module):
     dtype: Any = jnp.float32
     use_pallas: bool = False  # fused VMEM-resident attention (inference)
     use_flash: bool = False   # flash kernel w/ custom VJP (training too)
+    probs_bf16: bool = False  # store softmax probs in bf16 (see config)
 
     @nn.compact
     def __call__(self, x, key_pad_mask, deterministic: bool = True):
@@ -85,7 +86,13 @@ class MultiHeadAttention(nn.Module):
             # reference masks the same way (Models.py:85, Modules.py:18-19).
             attn = jnp.where(key_pad_mask[:, None, None, :], NEG_INF, attn)
             # Softmax in f32 for stability under bf16 compute.
-            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+            # Optionally store the probabilities in bf16: they are the
+            # train step's largest autodiff residual ((B,H,T,T) per layer,
+            # saved fwd + re-read bwd in the HBM-bound step, DESIGN.md
+            # 3.1/3.3); the TPU matmul consumes bf16 inputs at default
+            # precision anyway, so only the SAVED bytes change.
+            attn = attn.astype(jnp.bfloat16 if self.probs_bf16 else v.dtype)
             out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
         out = out.reshape(B, T, self.n_head * self.d_v)
         out = nn.Dense(self.d_model, dtype=self.dtype, name="fc")(out)
@@ -131,6 +138,7 @@ class FFTBlock(nn.Module):
     dtype: Any = jnp.float32
     use_pallas: bool = False
     use_flash: bool = False
+    probs_bf16: bool = False
 
     @nn.compact
     def __call__(self, x, pad_mask, deterministic: bool = True):
@@ -138,7 +146,8 @@ class FFTBlock(nn.Module):
         x = MultiHeadAttention(
             self.n_head, self.d_model, self.d_k, self.d_v, self.dropout,
             dtype=self.dtype, use_pallas=self.use_pallas,
-            use_flash=self.use_flash, name="slf_attn",
+            use_flash=self.use_flash, probs_bf16=self.probs_bf16,
+            name="slf_attn",
         )(x, pad_mask, deterministic)
         x = x * not_pad
         x = PositionwiseFeedForward(
