@@ -181,3 +181,33 @@ def test_deferred_overflow_retry(king, monkeypatch):
         server.close()
     hop = king.cfg.preprocess.stft.hop_length
     assert wav.shape == (ref_len * hop,)
+
+
+def test_stream_endpoint(king):
+    """Streaming endpoint: chunks arrive incrementally, concatenate to the
+    full utterance length, and match the batched path away from the
+    halo'd window edges — while batched traffic flows on the same server."""
+    from tts_king_tpu.serve import SynthesisServer
+
+    rng = np.random.RandomState(7)
+    phonemes = rng.randint(10, 100, size=(24,))
+
+    server = SynthesisServer(king, max_batch=4)
+    try:
+        batched_future = server.submit(phonemes=phonemes)
+        chunks = list(server.stream(phonemes=phonemes, chunk_frames=16))
+        batched = batched_future.result(timeout=300)
+    finally:
+        server.close()
+
+    assert len(chunks) > 1, "expected incremental chunks"
+    streamed = np.concatenate(chunks)
+    assert streamed.dtype == np.int16
+    assert streamed.shape == batched.shape
+    # interiors match the batched path (streaming windows are exact inside
+    # their halos); compare the middle half
+    lo, hi = len(streamed) // 4, 3 * len(streamed) // 4
+    frac_off = float(np.mean(
+        np.abs(streamed[lo:hi].astype(np.int32)
+               - batched[lo:hi].astype(np.int32)) > 2))
+    assert frac_off < 0.01, f"{frac_off:.2%} of interior samples differ"

@@ -112,6 +112,46 @@ class SynthesisServer:
                    for t, s in zip(texts, speakers)]
         return [f.result() for f in futures]
 
+    def stream(self, text: Optional[str] = None, phonemes=None, speaker=0,
+               duration_control=1.0, pitch_control=1.0,
+               energy_control=1.0, chunk_frames: int = 64):
+        """Low-latency streaming endpoint: bypasses the batching pipeline
+        and yields int16 waveform chunks as they are vocoded
+        (ops/streaming.py) — audio starts after one FS2 call plus one
+        small halo'd vocoder window (~40 ms, bench streaming config)
+        instead of a full batched round trip. Safe to call while batched
+        traffic flows: JAX dispatch is thread-safe and the device
+        serializes; a stream interleaves with batch work at window
+        granularity."""
+        if self._stop.is_set():
+            raise RuntimeError("server is closed")
+        if phonemes is None:
+            if text is None:
+                raise ValueError("need text or phonemes")
+            phonemes = self.king.text_preprocess(text)[0]
+        if isinstance(speaker, str):
+            speaker = self.king.tts.speakers_dict[speaker]
+
+        from tts_king_tpu.ops.streaming import (generator_receptive_field,
+                                                stream_vocoder)
+
+        out = self.king.tts.generate(
+            np.asarray(phonemes, np.int32)[None],
+            duration_control=float(duration_control),
+            pitch_control=float(pitch_control),
+            energy_control=float(energy_control),
+            speaker_name=int(speaker))
+        n = int(np.asarray(out["mel_lens"])[0])
+        mel = np.asarray(out["postnet_mel"], np.float32)[:1, : max(n, 1)]
+        halo = generator_receptive_field(self.king.cfg.vocoder)
+        scale = self.king.cfg.vocoder.max_wav_value
+        hop = self.king.cfg.preprocess.stft.hop_length
+        for chunk in stream_vocoder(self.king.vocoder._apply,
+                                    self.king.vocoder.variables, mel,
+                                    chunk_frames=chunk_frames,
+                                    halo_frames=halo, hop=hop):
+            yield (np.asarray(chunk, np.float32) * scale).astype(np.int16)
+
     def close(self):
         self._stop.set()
         for t in self._threads:
