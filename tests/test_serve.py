@@ -211,3 +211,49 @@ def test_stream_endpoint(king):
         np.abs(streamed[lo:hi].astype(np.int32)
                - batched[lo:hi].astype(np.int32)) > 2))
     assert frac_off < 0.01, f"{frac_off:.2%} of interior samples differ"
+
+
+def test_http_front_end(king):
+    """HTTP surface: /health, /tts (WAV container), /stream (chunked PCM)
+    against a live server on an ephemeral port."""
+    import json
+    import threading
+    import urllib.request
+    import wave as wave_mod
+
+    from tts_king_tpu.serve import serve_http
+
+    httpd, server = serve_http(king, port=0, max_batch=4)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/health", timeout=60) as r:
+            health = json.loads(r.read())
+        assert health["ok"] is True
+
+        body = json.dumps({"phonemes": [70, 80, 90, 100],
+                           "speaker": 1}).encode()
+        req = urllib.request.Request(f"{base}/tts", data=body,
+                                     headers={"Content-Type":
+                                              "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            assert r.headers["Content-Type"] == "audio/wav"
+            data = r.read()
+        import io
+        with wave_mod.open(io.BytesIO(data)) as w:
+            assert w.getframerate() == king.cfg.preprocess.audio.sampling_rate
+            assert w.getnframes() > 0
+            wav_http = np.frombuffer(w.readframes(w.getnframes()), np.int16)
+
+        req = urllib.request.Request(f"{base}/stream", data=body,
+                                     headers={"Content-Type":
+                                              "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            assert r.headers["Content-Type"].startswith("audio/L16")
+            pcm = np.frombuffer(r.read(), np.int16)
+        assert pcm.shape == wav_http.shape
+    finally:
+        httpd.shutdown()
+        server.close()

@@ -362,3 +362,143 @@ class SynthesisServer:
             for i, req in enumerate(reqs):
                 req.future.set_result((mel[i, : mel_lens[i]],
                                        int(mel_lens[i])))
+
+
+# --------------------------------------------------------------- HTTP front
+
+def serve_http(king, host="127.0.0.1", port=8765, **server_kw):
+    """Wrap a SynthesisServer in a stdlib HTTP front end.
+
+    Endpoints:
+      GET  /health  -> {"ok": true, "speakers": N}
+      POST /tts     -> WAV file; JSON body {"text" | "phonemes": [...],
+                       "speaker", "duration_control", "pitch_control",
+                       "energy_control"}
+      POST /stream  -> chunked raw int16 PCM (audio/L16), same body —
+                       first chunk after one FS2 call + one vocoder window
+
+    Returns (httpd, synthesis_server); caller runs httpd.serve_forever()
+    and closes both. Port 0 binds an ephemeral port
+    (httpd.server_address[1]).
+    """
+    import io
+    import json as _json
+    import wave
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    server = SynthesisServer(king, **server_kw)
+    sr = king.cfg.preprocess.audio.sampling_rate
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _body(self):
+            n = int(self.headers.get("Content-Length", 0))
+            return _json.loads(self.rfile.read(n) or b"{}")
+
+        def _synth_kwargs(self, body):
+            kw = dict(speaker=body.get("speaker", 0))
+            for k in ("duration_control", "pitch_control", "energy_control"):
+                if k in body:
+                    kw[k] = float(body[k])
+            if "phonemes" in body:
+                kw["phonemes"] = np.asarray(body["phonemes"], np.int32)
+            else:
+                kw["text"] = body["text"]
+            return kw
+
+        def do_GET(self):
+            if self.path == "/health":
+                payload = _json.dumps(
+                    {"ok": True,
+                     "speakers": len(king.speakers)}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+            else:
+                self.send_error(404)
+
+        def do_POST(self):
+            try:
+                body = self._body()
+                if self.path == "/tts":
+                    wav = server.submit(**self._synth_kwargs(body)).result(
+                        timeout=600)
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as w:
+                        w.setnchannels(1)
+                        w.setsampwidth(2)
+                        w.setframerate(sr)
+                        w.writeframes(np.asarray(wav, np.int16).tobytes())
+                    data = buf.getvalue()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "audio/wav")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+                elif self.path == "/stream":
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     f"audio/L16;rate={sr};channels=1")
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
+                    for chunk in server.stream(**self._synth_kwargs(body)):
+                        data = np.asarray(chunk, np.int16).tobytes()
+                        self.wfile.write(f"{len(data):X}\r\n".encode())
+                        self.wfile.write(data)
+                        self.wfile.write(b"\r\n")
+                    self.wfile.write(b"0\r\n\r\n")
+                else:
+                    self.send_error(404)
+            except Exception as e:  # surface errors as 500 JSON
+                msg = _json.dumps({"error": str(e)}).encode()
+                try:
+                    self.send_response(500)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(msg)))
+                    self.end_headers()
+                    self.wfile.write(msg)
+                except Exception:
+                    pass
+
+    httpd = ThreadingHTTPServer((host, port), Handler)
+    return httpd, server
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(description="tts_king_tpu synthesis server")
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8765)
+    ap.add_argument("--max-batch", type=int, default=16)
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 inference compute")
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from tts_king_tpu.config import TTSConfig, load_config
+    from tts_king_tpu.pipeline import TTSKing
+
+    cfg = load_config(args.config) if args.config else TTSConfig()
+    king = TTSKing(cfg, dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    httpd, server = serve_http(king, host=args.host, port=args.port,
+                               max_batch=args.max_batch)
+    print(f"serving on http://{args.host}:{httpd.server_address[1]} "
+          f"(/tts /stream /health)", flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.shutdown()
+        server.close()
+
+
+if __name__ == "__main__":
+    main()
