@@ -15,6 +15,14 @@ small, bounded set of shapes.
 Grapheme masking (README's masked-training feature) is applied per epoch at
 batch assembly — fixing two reference bugs: the `> 1` gate that made ratio
 0.15 dead (fs_two/dataset.py:149) and the once-at-load application.
+
+Multi-host: `shard=(rank, count)` makes the dataset process-aware. Every
+process computes the identical global batch plan (permutation, grouping,
+sorting, padded lengths — all metadata-only, including mel lengths read
+from .npy headers without touching the data) and then loads feature
+payloads ONLY for its own contiguous row block of each microbatch. Masking
+is keyed per (epoch seed, item index) so the global batch content is
+bit-identical regardless of process count.
 """
 
 import json
@@ -60,7 +68,8 @@ class FS2Dataset:
     def __init__(self, metadata_file: str, preprocess: PreprocessConfig,
                  train: TrainConfig, sort: bool = True, drop_last: bool = True,
                  max_mel_len: Optional[int] = 1000, apply_masking=None,
-                 use_native_loader: Optional[bool] = None):
+                 use_native_loader: Optional[bool] = None,
+                 shard: tuple = (0, 1)):
         self.root = preprocess.preprocessed_path
         self.cleaners = list(preprocess.text_cleaners)
         self.batch_size = train.optimizer.batch_size
@@ -71,6 +80,11 @@ class FS2Dataset:
         self.sort = sort
         self.drop_last = drop_last
         self.max_mel_len = max_mel_len
+        rank, count = shard
+        if not (0 <= rank < count):
+            raise ValueError(f"bad shard {shard}: need 0 <= rank < count")
+        self.shard = (int(rank), int(count))
+        self._mel_len_cache: Dict[tuple, int] = {}
 
         if use_native_loader is None:
             from tts_king_tpu import native
@@ -99,16 +113,51 @@ class FS2Dataset:
     def _npy(self, kind, speaker, name):
         return np.load(self._npy_path(kind, speaker, name))
 
-    def _entry(self, idx: int, rng=None):
-        """(name, speaker, speaker_id, phoneme id sequence) — metadata only."""
+    def _entry(self, idx: int, mask_seed: Optional[int] = None):
+        """(name, speaker, speaker_id, phoneme id sequence) — metadata only.
+
+        Masking RNG is keyed by (mask_seed, idx), not by a shared stream, so
+        every process of a sharded run derives the identical masked sequence
+        for a given item regardless of iteration order.
+        """
         name, speaker, text, _raw = self.meta[idx]
         phones = text.strip("{}").split(" ")
-        if self.apply_masking and rng is not None:
-            phones = random_mask(phones, self.mask_ratio, rng)
+        if self.apply_masking and mask_seed is not None:
+            item_rng = np.random.RandomState(
+                (int(mask_seed) * 1000003 + int(idx)) % (2**32 - 1))
+            phones = random_mask(phones, self.mask_ratio, item_rng)
         seq = np.asarray(
             text_to_sequence("{" + " ".join(phones) + "}", self.cleaners),
             np.int32)
         return (name, speaker, np.int32(self.speaker_map[speaker]), seq)
+
+    def _mel_len(self, speaker: str, name: str) -> int:
+        """Mel frame count from the .npy header (mmap — no data read)."""
+        key = (speaker, name)
+        n = self._mel_len_cache.get(key)
+        if n is None:
+            n = int(np.load(self._npy_path("mel", speaker, name),
+                            mmap_mode="r").shape[0])
+            self._mel_len_cache[key] = n
+        return n
+
+    def _item_from_entry(self, entry) -> Dict[str, np.ndarray]:
+        """Load feature payloads for one metadata entry (keeps the entry's
+        possibly-masked phoneme sequence)."""
+        name, speaker, sid, seq = entry
+        return {
+            "id": name,
+            "speaker": sid,
+            "text": seq,
+            "mel": self._npy("mel", speaker, name).astype(np.float32),
+            "energy": self._npy("energy", speaker, name).astype(np.float32),
+            "duration": self._npy("duration", speaker, name).astype(np.int32),
+            "pitch_raw": self._npy("pitch", speaker, name).astype(np.float32),
+            "pitch_cwt": np.nan_to_num(
+                self._npy("cwt-pitch", speaker, name).astype(np.float32)),
+            "pitch_mean": self._npy("pitch-mean", speaker, name).astype(np.float32),
+            "pitch_std": self._npy("pitch-std", speaker, name).astype(np.float32),
+        }
 
     def load_item(self, idx: int, rng: Optional[np.random.RandomState] = None
                   ) -> Dict[str, np.ndarray]:
@@ -211,69 +260,77 @@ class FS2Dataset:
         return batch
 
     def epoch_superbatches(self, seed: int = 0) -> Iterator[Dict[str, np.ndarray]]:
-        """Yield (acc, B, ...) superbatches for one epoch.
+        """Yield (acc, B_local, ...) superbatches for one epoch.
 
         Groups of batch_size*group_size items are length-sorted (desc) and
         sliced into `group_size` microbatches (the reference's grouped
-        collate), padded jointly to quantized max lengths.
+        collate), padded jointly to quantized max lengths. The batch plan —
+        permutation, sorting, L and T — is computed from metadata alone and
+        is identical across shards; when shard=(rank, count) with count > 1,
+        only rows [rank*B/count, (rank+1)*B/count) of each microbatch are
+        loaded (B_local = batch_size // count).
         """
+        rank, nshards = self.shard
+        bs = self.batch_size
+        if bs % nshards:
+            raise ValueError(
+                f"batch_size={bs} not divisible by shard count {nshards}")
         rng = np.random.RandomState(seed)
         order = rng.permutation(len(self.meta))
-        group = self.batch_size * self.group_size
+        group = bs * self.group_size
         for start in range(0, len(order) - (group - 1 if self.drop_last else 0),
                            group):
             idxs = order[start : start + group]
             if len(idxs) < group and self.drop_last:
                 break
-            if self.use_native_loader:
-                entries = [self._entry(i, rng) for i in idxs]
-                if self.sort:
-                    entries.sort(key=lambda e: -len(e[3]))
-                micro = [entries[i * self.batch_size : (i + 1) * self.batch_size]
-                         for i in range(len(entries) // self.batch_size)]
-                micro = [m for m in micro if len(m) == self.batch_size]
-                if not micro:
-                    continue
-                L = _quantize(max(len(e[3]) for m in micro for e in m), L_STEP)
-                T = self.max_mel_len or 1000
-                collated = [self._collate_native(m, L, T) for m in micro]
-                # shrink mel padding to the group's quantized max frame count
-                T_used = _quantize(
-                    int(max(c["mel_lens"].max() for c in collated)),
-                    T_STEP, self.max_mel_len)
-                collated = [dict(c, mels=c["mels"][:, :T_used])
-                            for c in collated]
-                yield {k: np.stack([c[k] for c in collated])
-                       for k in collated[0]}
-                continue
-            items = [self.load_item(i, rng) for i in idxs]
+            entries = [self._entry(int(i), mask_seed=seed) for i in idxs]
             if self.sort:
-                items.sort(key=lambda it: -len(it["text"]))
-            micro = [items[i * self.batch_size : (i + 1) * self.batch_size]
-                     for i in range(len(items) // self.batch_size)]
-            micro = [m for m in micro if len(m) == self.batch_size]
+                entries.sort(key=lambda e: -len(e[3]))
+            micro = [entries[i * bs : (i + 1) * bs]
+                     for i in range(len(entries) // bs)]
+            micro = [m for m in micro if len(m) == bs]
             if not micro:
                 continue
-            L = _quantize(max(len(it["text"]) for m in micro for it in m),
-                          L_STEP)
-            T = _quantize(max(it["mel"].shape[0] for m in micro for it in m),
+            L = _quantize(max(len(e[3]) for m in micro for e in m), L_STEP)
+            T = _quantize(max(self._mel_len(e[1], e[0])
+                              for m in micro for e in m),
                           T_STEP, self.max_mel_len)
-            collated = [self._collate(m, L, T) for m in micro]
-            yield {k: np.stack([c[k] for c in collated]) for k in collated[0]}
+            if nshards > 1:
+                k = bs // nshards
+                micro = [m[rank * k : (rank + 1) * k] for m in micro]
+            if self.use_native_loader:
+                collated = [self._collate_native(m, L, T) for m in micro]
+            else:
+                collated = [
+                    self._collate([self._item_from_entry(e) for e in m], L, T)
+                    for m in micro]
+            yield {k2: np.stack([c[k2] for c in collated])
+                   for k2 in collated[0]}
 
     def batches(self, seed: int = 0, batch_size: Optional[int] = None
                 ) -> Iterator[Dict[str, np.ndarray]]:
-        """Plain (B, ...) batches (no accumulation axis) — for evaluation."""
+        """Plain (B_local, ...) batches (no accumulation axis) — for
+        evaluation. Sharded datasets yield each process's contiguous row
+        block and drop the ragged tail (all shards must agree on batch
+        count)."""
+        rank, nshards = self.shard
         bs = batch_size or self.batch_size
-        rng = np.random.RandomState(seed)
+        if bs % nshards:
+            raise ValueError(
+                f"batch_size={bs} not divisible by shard count {nshards}")
         order = np.arange(len(self.meta))
         for start in range(0, len(order), bs):
             idxs = order[start : start + bs]
-            if len(idxs) < bs and self.drop_last:
+            if len(idxs) < bs and (self.drop_last or nshards > 1):
                 break
-            items = [self.load_item(i, rng if self.apply_masking else None)
-                     for i in idxs]
-            L = _quantize(max(len(it["text"]) for it in items), L_STEP)
-            T = _quantize(max(it["mel"].shape[0] for it in items), T_STEP,
-                          self.max_mel_len)
-            yield self._collate(items, L, T)
+            entries = [self._entry(int(i),
+                                   mask_seed=seed if self.apply_masking else None)
+                       for i in idxs]
+            L = _quantize(max(len(e[3]) for e in entries), L_STEP)
+            T = _quantize(max(self._mel_len(e[1], e[0]) for e in entries),
+                          T_STEP, self.max_mel_len)
+            if nshards > 1:
+                k = bs // nshards
+                entries = entries[rank * k : (rank + 1) * k]
+            yield self._collate([self._item_from_entry(e) for e in entries],
+                                L, T)

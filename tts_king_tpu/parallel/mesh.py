@@ -119,6 +119,36 @@ def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
 
 
+def globalize_batch(mesh: Mesh, batch: Any, extra_leading_axis: bool = False):
+    """Process-local batch shards -> global jax.Arrays sharded over 'dp'.
+
+    Each process passes its own contiguous row block (the rows its
+    addressable dp sub-mesh owns — FS2Dataset(shard=...) yields exactly
+    that); jax.make_array_from_process_local_data assembles them into one
+    global array without any cross-host data movement. On a single process
+    this degenerates to a plain sharded device_put of the full batch.
+    """
+    specs = batch_specs(batch, extra_leading_axis)
+
+    def put(x, spec):
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, spec), np.asarray(x))
+
+    return jax.tree.map(put, batch, specs)
+
+
+def globalize_like(template: Any, host_tree: Any):
+    """Host (numpy, globally-shaped) pytree -> global jax.Arrays with the
+    template's shardings. Multi-host-safe: each process contributes only the
+    shards its devices own via the callback."""
+    def put(tmpl, host):
+        host = np.asarray(host)
+        return jax.make_array_from_callback(
+            tmpl.shape, tmpl.sharding, lambda idx: host[idx])
+
+    return jax.tree.map(put, template, host_tree)
+
+
 def shard_for_inference(mesh: Mesh, variables, batch_arrays, tp_specs=None):
     """Place model variables (replicated, or TP-sharded via tp_specs) and a
     batch (sharded over 'dp' on dim 0) for data-parallel inference."""

@@ -18,44 +18,90 @@ from tts_king_tpu.config import TTSConfig
 from tts_king_tpu.checkpoint import restore_train_state, save_train_state
 from tts_king_tpu.data.dataset import FS2Dataset
 from tts_king_tpu.models.fs2 import build_fastspeech2
-from tts_king_tpu.parallel.mesh import (batch_specs, build_mesh,
-                                        fs2_param_specs, make_shardings,
+from tts_king_tpu.parallel.mesh import (build_mesh, fs2_param_specs,
+                                        globalize_batch, globalize_like,
                                         shard_train_state)
 from tts_king_tpu.train.evaluate import evaluate
-from tts_king_tpu.train.state import create_train_state, make_optimizer
+from tts_king_tpu.train.state import (create_sharded_train_state,
+                                      create_train_state, make_optimizer)
 from tts_king_tpu.train.step import make_eval_step, make_train_step
 from tts_king_tpu.utils.logging import MetricsLogger
 
 
 def train(cfg: TTSConfig, max_steps: Optional[int] = None,
           use_mesh: bool = True, vocoder=None):
-    """Run FS2 training from a preprocessed corpus. Returns final state."""
+    """Run FS2 training from a preprocessed corpus. Returns final state.
+
+    Multi-host: when launched under jax.distributed (process_count > 1,
+    see scripts/train.py --distributed), each process loads a disjoint row
+    block of every batch (FS2Dataset shard=...), batches are assembled into
+    global arrays without cross-host copies, state lives sharded on the
+    global mesh, and orbax coordinates checkpoint save/restore across
+    processes. Replaces the reference's single-device train.py:78-235 with
+    a pod-scale driver.
+    """
     pp = cfg.preprocess
     tc = cfg.train
     root = pp.preprocessed_path
+
+    n_proc = jax.process_count()
+    distributed = n_proc > 1
+    shard = (jax.process_index(), n_proc)
 
     with open(os.path.join(root, "stats.json")) as f:
         stats = json.load(f)
     with open(os.path.join(root, "speakers.json")) as f:
         n_speakers = len(json.load(f))
 
-    train_ds = FS2Dataset("train.txt", pp, tc, max_mel_len=cfg.model.max_seq_len)
+    train_ds = FS2Dataset("train.txt", pp, tc,
+                          max_mel_len=cfg.model.max_seq_len, shard=shard)
     val_ds = FS2Dataset("val.txt", pp, tc, drop_last=False,
                         apply_masking=False,
-                        max_mel_len=cfg.model.max_seq_len)
+                        max_mel_len=cfg.model.max_seq_len, shard=shard)
 
     model = build_fastspeech2(cfg.model, stats, n_speakers,
                               pp.mel.n_mel_channels)
     optimizer = make_optimizer(tc.optimizer, cfg.model.transformer.encoder_hidden)
 
+    mesh = None
+    if distributed:
+        if not use_mesh:
+            raise ValueError("multi-process training requires use_mesh=True")
+        mesh = build_mesh(dp=cfg.mesh.dp, tp=cfg.mesh.tp)
+        tp = mesh.shape["tp"]
+        if len(jax.local_devices()) % tp:
+            raise ValueError(
+                f"tp={tp} must divide the {len(jax.local_devices())} local "
+                f"devices per process so tp stays inside a host (ICI) and "
+                f"the dp axis crosses hosts in contiguous blocks.")
+        if mesh.shape["dp"] % n_proc:
+            raise ValueError(
+                f"dp={mesh.shape['dp']} must be a multiple of the "
+                f"{n_proc} processes for per-process batch sharding.")
+    elif use_mesh and len(jax.devices()) > 1:
+        mesh = build_mesh(dp=cfg.mesh.dp, tp=cfg.mesh.tp)
+    if mesh is not None and tc.optimizer.batch_size % mesh.shape["dp"]:
+        # Fail loudly: silently falling back to one device would cost
+        # the user dp-times throughput without a word.
+        raise ValueError(
+            f"batch_size={tc.optimizer.batch_size} does not shard "
+            f"evenly over the data axis (dp={mesh.shape['dp']}). Pick a "
+            f"batch_size divisible by dp, set mesh.dp to a divisor of the "
+            f"batch size, or pass use_mesh=False to train single-device.")
+
     rng = jax.random.PRNGKey(tc.seed)
     sample = next(iter(train_ds.epoch_superbatches(seed=0)), None)
     if sample is None:
         raise RuntimeError("training set produced no batches")
-    state = create_train_state(
-        model, optimizer, rng,
-        (sample["speakers"][0], sample["texts"][0], sample["src_lens"][0]),
-        start_step=cfg.acoustic.restore_step)
+    sample_args = (sample["speakers"][0], sample["texts"][0],
+                   sample["src_lens"][0])
+    if distributed:
+        state, _ = create_sharded_train_state(
+            model, optimizer, rng, sample_args, mesh,
+            start_step=cfg.acoustic.restore_step)
+    else:
+        state = create_train_state(model, optimizer, rng, sample_args,
+                                   start_step=cfg.acoustic.restore_step)
 
     ckpt_dir = tc.ckpt_path
     if cfg.acoustic.restore_step and os.path.isdir(ckpt_dir):
@@ -64,35 +110,49 @@ def train(cfg: TTSConfig, max_steps: Optional[int] = None,
         payload = restore_train_state(ckpt_dir, cfg.acoustic.restore_step)
         # Restores optimizer state too — the reference saved but never
         # re-loaded it (fs_two/model/optimizer.py:32-33 has no call site).
-        state = state.replace(
-            params=payload["params"], batch_stats=payload["batch_stats"],
-            opt_state=from_state_dict(state.opt_state, payload["opt_state"]),
-            step=jax.numpy.asarray(payload["step"], jax.numpy.int32))
+        if distributed:
+            # Orbax returns full host arrays in every process; re-shard them
+            # onto the global mesh (each process contributes the shards its
+            # devices own).
+            state = state.replace(
+                params=globalize_like(state.params, payload["params"]),
+                batch_stats=globalize_like(state.batch_stats,
+                                           payload["batch_stats"]),
+                opt_state=globalize_like(
+                    state.opt_state,
+                    from_state_dict(state.opt_state, payload["opt_state"])),
+                step=globalize_like(state.step,
+                                    np.asarray(payload["step"], np.int32)))
+        else:
+            state = state.replace(
+                params=payload["params"], batch_stats=payload["batch_stats"],
+                opt_state=from_state_dict(state.opt_state, payload["opt_state"]),
+                step=jax.numpy.asarray(payload["step"], jax.numpy.int32))
 
-    mesh = None
-    if use_mesh and len(jax.devices()) > 1:
-        mesh = build_mesh(dp=cfg.mesh.dp, tp=cfg.mesh.tp)
-        dp = mesh.shape["dp"]
-        if tc.optimizer.batch_size % dp:
-            # Fail loudly: silently falling back to one device would cost
-            # the user dp-times throughput without a word.
-            raise ValueError(
-                f"batch_size={tc.optimizer.batch_size} does not shard "
-                f"evenly over the data axis (dp={dp}). Pick a batch_size "
-                f"divisible by dp, set mesh.dp to a divisor of the batch "
-                f"size, or pass use_mesh=False to train single-device.")
+    if mesh is not None and not distributed:
         state = shard_train_state(state, mesh, optimizer,
                                   fs2_param_specs(state.params))
 
     train_step = jax.jit(make_train_step(model, optimizer, cfg.model.use_cwt))
     eval_step = jax.jit(make_eval_step(model, cfg.model.use_cwt))
 
-    logger = MetricsLogger(tc.result_path, cfg.exp_name,
-                           cfg.logger.wandb_key, cfg.logger.offline)
+    # Only process 0 writes metrics; all processes still run every
+    # computation (collectives need all participants).
+    if jax.process_index() == 0:
+        logger = MetricsLogger(tc.result_path, cfg.exp_name,
+                               cfg.logger.wandb_key, cfg.logger.offline)
+    else:
+        logger = _NullLogger()
     os.makedirs(tc.ckpt_path, exist_ok=True)
 
+    eval_globalize = ((lambda b: globalize_batch(mesh, b))
+                      if distributed else None)
+    if distributed:
+        vocoder = None  # synth preview needs locally-addressable params
+
     if cfg.run_debug_eval:
-        val = evaluate(eval_step, state, val_ds, max_batches=4)
+        val = evaluate(eval_step, state, val_ds, max_batches=4,
+                       globalize=eval_globalize)
         logger.log_losses(int(state.step), val, prefix="val")
 
     total = max_steps if max_steps is not None else tc.step.total_step
@@ -103,7 +163,8 @@ def train(cfg: TTSConfig, max_steps: Optional[int] = None,
     try:
         state, step = _run_epochs(
             cfg, state, step, total, epoch, train_ds, val_ds, train_step,
-            eval_step, logger, rng, mesh, vocoder, model, t_last)
+            eval_step, logger, rng, mesh, vocoder, model, t_last,
+            eval_globalize)
     except (KeyboardInterrupt, Exception):
         # Failure containment (the reference has none, SURVEY.md §5.3):
         # persist an emergency checkpoint so the run is resumable, then
@@ -123,17 +184,32 @@ def train(cfg: TTSConfig, max_steps: Optional[int] = None,
     return state
 
 
+class _NullLogger:
+    """No-op metrics sink for non-zero processes of a distributed run."""
+
+    def log_losses(self, *a, **k):
+        pass
+
+    def log(self, *a, **k):
+        pass
+
+    def close(self):
+        pass
+
+
 def _run_epochs(cfg, state, step, total, epoch, train_ds, val_ds, train_step,
-                eval_step, logger, rng, mesh, vocoder, model, t_last):
+                eval_step, logger, rng, mesh, vocoder, model, t_last,
+                eval_globalize=None):
     tc = cfg.train
     done = False
     while not done:
         epoch += 1
         for superbatch in train_ds.epoch_superbatches(seed=tc.seed + epoch):
             if mesh is not None:
-                superbatch = jax.device_put(
-                    superbatch,
-                    make_shardings(mesh, batch_specs(superbatch, True)))
+                # Per-process local rows -> one global sharded array
+                # (single-process: equivalent to a sharded device_put).
+                superbatch = globalize_batch(mesh, superbatch,
+                                             extra_leading_axis=True)
             rng, step_rng = jax.random.split(rng)
             state, losses = train_step(state, superbatch, step_rng)
             step += 1
@@ -144,8 +220,21 @@ def _run_epochs(cfg, state, step, total, epoch, train_ds, val_ds, train_step,
                 logger.log_losses(step, losses, prefix="train",
                                   extra={"sec_per_step": dt, "epoch": epoch})
             if step % tc.step.val_step == 0:
-                val = evaluate(eval_step, state, val_ds)
+                val = evaluate(eval_step, state, val_ds,
+                               globalize=eval_globalize)
                 logger.log_losses(step, val, prefix="val")
+                if tc.objective_val_utts and eval_globalize is None:
+                    # free-running MCD / duration-MAE (train/metrics.py);
+                    # skipped on multi-host runs (params aren't process-
+                    # local there). F0 metrics need a vocoder: scripts/
+                    # evaluate.py --objective covers those offline.
+                    from tts_king_tpu.train.metrics import evaluate_objective
+
+                    obj = evaluate_objective(
+                        model, state.variables(), val_ds,
+                        max_utts=tc.objective_val_utts,
+                        max_mel_len=cfg.model.max_seq_len)
+                    logger.log(step, obj, prefix="objective")
             if step % tc.step.synth_step == 0 and vocoder is not None:
                 _synth_preview(cfg, model, state, val_ds, vocoder, step)
             if step % tc.step.save_step == 0:

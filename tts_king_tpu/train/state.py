@@ -48,3 +48,41 @@ def create_train_state(model, optimizer, rng, sample_batch_args,
     opt_state = optimizer.init(params)
     return TrainState(step=jnp.asarray(start_step, jnp.int32), params=params,
                       batch_stats=batch_stats, opt_state=opt_state)
+
+
+def train_state_specs(shape_tree: TrainState, optimizer, param_specs):
+    """PartitionSpec tree matching a TrainState: params (and the optimizer's
+    param-shaped Adam slots) follow param_specs; everything else replicated."""
+    from jax.sharding import PartitionSpec as P
+
+    opt_specs = optax.tree_map_params(
+        optimizer, lambda _, spec: spec, shape_tree.opt_state, param_specs,
+        transform_non_params=lambda _: P())
+    return shape_tree.replace(
+        step=P(), params=param_specs,
+        batch_stats=jax.tree.map(lambda _: P(), shape_tree.batch_stats),
+        opt_state=opt_specs)
+
+
+def create_sharded_train_state(model, optimizer, rng, sample_batch_args,
+                               mesh, param_specs=None, start_step: int = 0):
+    """Initialize a TrainState directly ON a (possibly multi-host) mesh.
+
+    The state is created inside jit with global out_shardings — the
+    multi-host-safe alternative to device_put-ing host arrays, which would
+    require every shard to be process-addressable. Returns (state, specs).
+    """
+    from jax.sharding import NamedSharding
+
+    from tts_king_tpu.parallel.mesh import fs2_param_specs, make_shardings
+
+    def init():
+        return create_train_state(model, optimizer, rng, sample_batch_args,
+                                  start_step)
+
+    shape = jax.eval_shape(init)
+    if param_specs is None:
+        param_specs = fs2_param_specs(shape.params)
+    specs = train_state_specs(shape, optimizer, param_specs)
+    out_sh = make_shardings(mesh, specs)
+    return jax.jit(init, out_shardings=out_sh)(), specs
