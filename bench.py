@@ -341,6 +341,46 @@ def bench_streaming_latency(cfg, fs2, fs2_vars, voc, voc_vars):
             "vs_baseline": None}
 
 
+def bench_serving_ttfa(cfg):
+    """Time-to-first-audio through the PRODUCTION serving path
+    (serve.SynthesisServer.stream), measured submit -> first chunk in hand.
+    Exercises the round-3 speculative first-window dispatch: FS2 and the
+    first vocoder window are chained device-side (dispatch->dispatch->sync
+    instead of dispatch->sync->dispatch->sync), so the host sync on the
+    realized mel length overlaps the window's compute."""
+    import jax.numpy as jnp
+
+    from tts_king_tpu.pipeline import TTSKing
+    from tts_king_tpu.serve import SynthesisServer
+
+    king = TTSKing(cfg, dtype=jnp.bfloat16)
+    dp = king.tts.variables["params"]["variance_adaptor"][
+        "duration_predictor"]["linear_layer"]
+    dp["bias"] = jnp.full_like(dp["bias"], 1.5)
+
+    server = SynthesisServer(king)
+    rng = np.random.RandomState(9)
+    phonemes = rng.randint(64, 200, size=(64,))
+    try:
+        for _ in range(2):                      # warm all shapes
+            for _ in server.stream(phonemes=phonemes):
+                pass
+        ttfas = []
+        for _ in range(12):
+            t0 = time.perf_counter()
+            gen = server.stream(phonemes=phonemes)
+            next(gen)
+            ttfas.append(time.perf_counter() - t0)
+            for _ in gen:                       # drain
+                pass
+        used_speculative = bool(server._first_window_fns)
+    finally:
+        server.close()
+    return {"metric": "serving_time_to_first_audio",
+            "value": round(float(np.median(ttfas)) * 1e3, 1), "unit": "ms",
+            "vs_baseline": None, "speculative_window": used_speculative}
+
+
 def main():
     run_all = "--all" in sys.argv
     cfg, fs2, fs2_vars, voc, voc_vars = _build_models()
@@ -355,6 +395,7 @@ def main():
             bench_features(cfg),
             bench_train_step(cfg, fs2, fs2_vars),
             bench_streaming_latency(cfg, fs2, fs2_vars, voc, voc_vars),
+            bench_serving_ttfa(cfg),
         ]
         for r in results:
             print(json.dumps(r))

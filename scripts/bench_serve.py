@@ -83,6 +83,94 @@ def run_load_measured(king, policy, n, rate, seed=0, max_batch=16):
     }
 
 
+def run_overload_sustained(king, n, rate, admission_depth=64,
+                           deadline_ms=2000.0, seed=0, max_batch=16):
+    """Sustained open-loop OVERLOAD test (offered rate deliberately above
+    capacity): verifies the admission bound holds, latency of ADMITTED
+    requests stays bounded, and reports the rejection/shed rates — the
+    overload-safety contract (serve.py admission_depth + deadlines).
+    """
+    from tts_king_tpu.serve import (DeadlineExceeded, ServerOverloaded,
+                                    SynthesisServer)
+
+    server = SynthesisServer(king, max_batch=max_batch,
+                             admission_depth=admission_depth,
+                             default_deadline_ms=deadline_ms)
+    rng = np.random.RandomState(seed)
+    gaps = rng.exponential(1.0 / rate, size=n)
+    lengths = rng.randint(12, 48, size=n)
+    done_at = {}
+
+    def make_cb(i):
+        def cb(_f):
+            done_at[i] = time.monotonic()
+        return cb
+
+    try:
+        # warm shapes (see run_load_measured)
+        for ln in (12, 16, 24, 32, 40, 48):
+            for f in [server.submit(phonemes=rng.randint(64, 200, size=(ln,)))
+                      for _ in range(max_batch)]:
+                f.result(timeout=900)
+            server.submit(
+                phonemes=rng.randint(64, 200, size=(ln,))).result(timeout=900)
+            for f in [server.submit(phonemes=rng.randint(64, 200, size=(ln,)))
+                      for _ in range(4)]:
+                f.result(timeout=900)
+
+        futures = {}
+        submit_at = {}
+        rejected = 0
+        max_queue = 0
+        t_start = time.monotonic()
+        for i in range(n):
+            time.sleep(gaps[i])
+            max_queue = max(max_queue, server._queue.qsize())
+            try:
+                submit_at[i] = time.monotonic()
+                f = server.submit(
+                    phonemes=rng.randint(64, 200, size=(int(lengths[i]),)),
+                    speaker=int(rng.randint(0, 3)))
+                f.add_done_callback(make_cb(i))
+                futures[i] = f
+            except ServerOverloaded:
+                rejected += 1
+        shed = 0
+        ok = []
+        for i, f in futures.items():
+            try:
+                f.result(timeout=600)
+                ok.append(i)
+            except DeadlineExceeded:
+                shed += 1
+        t_end = time.monotonic()
+        stats = server.stats()
+    finally:
+        server.close()
+
+    lat = np.asarray([done_at[i] - submit_at[i] for i in ok])
+    return {
+        "scenario": "overload_sustained",
+        "n": n,
+        "offered_rate_rps": rate,
+        "admission_depth": admission_depth,
+        "deadline_ms": deadline_ms,
+        "admitted": len(futures),
+        "rejected": rejected,
+        "shed_after_admission": shed,
+        "completed": len(ok),
+        "rejection_rate": round(rejected / n, 3),
+        "max_observed_queue": max_queue,
+        "queue_bound_held": bool(max_queue <= admission_depth),
+        "completed_rps": round(len(ok) / (t_end - t_start), 2),
+        "admitted_p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 1)
+        if len(lat) else None,
+        "admitted_p99_ms": round(float(np.percentile(lat, 99)) * 1e3, 1)
+        if len(lat) else None,
+        "server_stats": stats,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=64)
@@ -91,6 +179,11 @@ def main():
                     choices=["both", "continuous", "window"])
     ap.add_argument("--max-batch", type=int, default=16)
     ap.add_argument("--config", default=None)
+    ap.add_argument("--overload", action="store_true",
+                    help="run the sustained overload scenario instead "
+                         "(bounded queue + deadlines; n>=512 recommended)")
+    ap.add_argument("--admission-depth", type=int, default=64)
+    ap.add_argument("--deadline-ms", type=float, default=2000.0)
     args = ap.parse_args()
 
     import jax
@@ -111,6 +204,12 @@ def main():
     dp = king.tts.variables["params"]["variance_adaptor"][
         "duration_predictor"]["linear_layer"]
     dp["bias"] = jnp.full_like(dp["bias"], 1.5)
+
+    if args.overload:
+        print(json.dumps(run_overload_sustained(
+            king, args.n, args.rate, admission_depth=args.admission_depth,
+            deadline_ms=args.deadline_ms, max_batch=args.max_batch)))
+        return
 
     policies = (["continuous", "window"] if args.policy == "both"
                 else [args.policy])

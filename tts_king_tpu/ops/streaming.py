@@ -37,18 +37,20 @@ def generator_receptive_field(config) -> int:
 
 
 def stream_vocoder(vocoder_apply, variables, mel, chunk_frames: int = 64,
-                   halo_frames: int = 32, hop: int = 256
-                   ) -> Iterator[np.ndarray]:
+                   halo_frames: int = 32, hop: int = 256,
+                   start_frame: int = 0) -> Iterator[np.ndarray]:
     """Yield waveform chunks for a (1, T, n_mels) mel.
 
     vocoder_apply: jitted `model.apply`; halo_frames must cover the
     generator's receptive field (generator_receptive_field()).
     Chunks concatenate to ~the full-pass waveform (exact in the interior).
+    start_frame skips already-produced leading chunks (the serving layer's
+    speculative first-window dispatch, serve.SynthesisServer.stream).
     """
     mel = np.asarray(mel)
     assert mel.ndim == 3 and mel.shape[0] == 1
     T = mel.shape[1]
-    for start in range(0, T, chunk_frames):
+    for start in range(start_frame, T, chunk_frames):
         lo = start - halo_frames
         hi = start + chunk_frames + halo_frames
         pad_l = max(0, -lo)

@@ -42,6 +42,17 @@ import numpy as np
 _now = time.monotonic
 
 
+class ServerOverloaded(RuntimeError):
+    """Admission queue is full — the request was rejected, not enqueued.
+
+    Clients should back off and retry (the HTTP front maps this to 429)."""
+
+
+class DeadlineExceeded(RuntimeError):
+    """The request's deadline passed before it was dispatched; no device
+    compute was spent on it (HTTP front: 504)."""
+
+
 @dataclass
 class _Request:
     phonemes: np.ndarray        # (L,) int
@@ -49,14 +60,25 @@ class _Request:
     controls: tuple             # (duration, pitch, energy)
     future: Future = field(default_factory=Future)
     t_submit: float = field(default_factory=_now)
+    deadline: Optional[float] = None    # absolute monotonic time, or None
 
 
 class SynthesisServer:
-    """Batched text->wav serving on top of pipeline.TTSKing."""
+    """Batched text->wav serving on top of pipeline.TTSKing.
+
+    Overload safety: admission is bounded (`admission_depth` waiting
+    requests; beyond that submit() raises ServerOverloaded immediately
+    instead of growing the queue and every latency with it), and requests
+    may carry deadlines — a request whose deadline passes while queued is
+    shed at dispatch time with DeadlineExceeded, spending no device compute.
+    Counters for admitted/rejected/shed/completed are exposed via stats().
+    """
 
     def __init__(self, king, max_batch: int = 16, max_wait_ms: float = 10.0,
                  return_wav: bool = True, policy: str = "continuous",
-                 pipeline_depth: int = 2, batch_buckets=None):
+                 pipeline_depth: int = 2, batch_buckets=None,
+                 admission_depth: int = 128,
+                 default_deadline_ms: Optional[float] = None):
         if policy not in ("continuous", "window"):
             raise ValueError(f"unknown scheduling policy {policy!r}")
         self.king = king
@@ -64,13 +86,21 @@ class SynthesisServer:
         self.max_wait = max_wait_ms / 1000.0
         self.return_wav = return_wav
         self.policy = policy
+        self.admission_depth = admission_depth
+        self.default_deadline = (default_deadline_ms / 1000.0
+                                 if default_deadline_ms else None)
+        self._stats_lock = threading.Lock()
+        self._counters = {"admitted": 0, "rejected": 0, "shed": 0,
+                          "completed": 0, "failed": 0}
         # Batches are padded UP to one of these sizes: jit re-traces per
         # batch shape, and a 20-40 s first-touch compile per distinct B
         # would dwarf any scheduling gain. Few buckets = few compiles;
         # padded rows cost little (device compute is sublinear in B).
         self.batch_buckets = sorted(batch_buckets or
                                     {1, 4, max_batch} | {max_batch})
-        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._queue: "queue.Queue[_Request]" = queue.Queue(
+            maxsize=admission_depth)
+        self._first_window_fns: dict = {}   # (chunk, halo) -> jitted fn
         # 3-stage pipeline: dispatcher -> _mid (FS2 in flight) -> vocoder
         # thread -> _inflight (vocoder in flight) -> completer.
         self._mid: "queue.Queue" = queue.Queue(maxsize=pipeline_depth)
@@ -88,8 +118,14 @@ class SynthesisServer:
 
     def submit(self, text: Optional[str] = None, phonemes=None, speaker=0,
                duration_control=1.0, pitch_control=1.0,
-               energy_control=1.0) -> Future:
-        """Enqueue one utterance; resolves to int16 wav (or (mel, mel_len))."""
+               energy_control=1.0, deadline_ms: Optional[float] = None
+               ) -> Future:
+        """Enqueue one utterance; resolves to int16 wav (or (mel, mel_len)).
+
+        Raises ServerOverloaded when `admission_depth` requests are already
+        waiting. deadline_ms (relative to now) bounds queueing: a request
+        still undispatched past its deadline fails with DeadlineExceeded.
+        """
         if self._stop.is_set():
             raise RuntimeError("server is closed")
         if phonemes is None:
@@ -101,8 +137,29 @@ class SynthesisServer:
         req = _Request(np.asarray(phonemes, np.int32), int(speaker),
                        (float(duration_control), float(pitch_control),
                         float(energy_control)))
-        self._queue.put(req)
+        if deadline_ms is not None:
+            req.deadline = req.t_submit + deadline_ms / 1000.0
+        elif self.default_deadline is not None:
+            req.deadline = req.t_submit + self.default_deadline
+        try:
+            self._queue.put_nowait(req)
+        except queue.Full:
+            with self._stats_lock:
+                self._counters["rejected"] += 1
+            raise ServerOverloaded(
+                f"admission queue full ({self.admission_depth} requests "
+                f"waiting); retry with backoff") from None
+        with self._stats_lock:
+            self._counters["admitted"] += 1
         return req.future
+
+    def stats(self) -> dict:
+        """Admission/shedding counters + current queue depth."""
+        with self._stats_lock:
+            out = dict(self._counters)
+        out["queued"] = self._queue.qsize()
+        out["admission_depth"] = self.admission_depth
+        return out
 
     def synthesize_many(self, texts: Sequence[str], speakers=None,
                         **controls):
@@ -117,12 +174,20 @@ class SynthesisServer:
                energy_control=1.0, chunk_frames: int = 64):
         """Low-latency streaming endpoint: bypasses the batching pipeline
         and yields int16 waveform chunks as they are vocoded
-        (ops/streaming.py) — audio starts after one FS2 call plus one
-        small halo'd vocoder window (~40 ms, bench streaming config)
-        instead of a full batched round trip. Safe to call while batched
-        traffic flows: JAX dispatch is thread-safe and the device
-        serializes; a stream interleaves with batch work at window
-        granularity."""
+        (ops/streaming.py). Safe to call while batched traffic flows: JAX
+        dispatch is thread-safe and the device serializes; a stream
+        interleaves with batch work at window granularity.
+
+        Time-to-first-audio engineering (DESIGN.md §3.4): the first vocoder
+        window is dispatched SPECULATIVELY on the device-resident FS2 mel —
+        chained in the device queue with no host round trip between the two
+        programs — while the host's fetch of the realized mel length
+        overlaps with the window's compute. The serial
+        dispatch->sync->dispatch->sync chain becomes
+        dispatch->dispatch->sync. The speculative window is used only when
+        it is provably exact (utterance covers chunk+halo frames, no mel-
+        bucket overflow); otherwise the plain path runs — bit-identical
+        output either way."""
         if self._stop.is_set():
             raise RuntimeError("server is closed")
         if phonemes is None:
@@ -135,22 +200,73 @@ class SynthesisServer:
         from tts_king_tpu.ops.streaming import (generator_receptive_field,
                                                 stream_vocoder)
 
+        halo = generator_receptive_field(self.king.cfg.vocoder)
+        scale = self.king.cfg.vocoder.max_wav_value
+        hop = self.king.cfg.preprocess.stft.hop_length
+
+        # FS2 dispatch without host sync (overflow check deferred) ...
         out = self.king.tts.generate(
             np.asarray(phonemes, np.int32)[None],
             duration_control=float(duration_control),
             pitch_control=float(pitch_control),
             energy_control=float(energy_control),
-            speaker_name=int(speaker))
+            speaker_name=int(speaker), defer_overflow=True)
+        bucket = out.get("mel_bucket", out["postnet_mel"].shape[1])
+        win0 = None
+        if bucket >= chunk_frames + halo:
+            # ... speculative first window, chained device-side.
+            win0 = self._first_window(out["postnet_mel"], chunk_frames, halo)
+        # Host sync on the realized lengths overlaps with win0's compute.
+        raw = int(np.asarray(out["mel_lens_raw"])[0])
+        if raw > bucket:
+            # Rare mel-bucket overflow: redo synchronously (escalated
+            # buckets), discard the speculative window.
+            out = self.king.tts.generate(
+                np.asarray(phonemes, np.int32)[None],
+                duration_control=float(duration_control),
+                pitch_control=float(pitch_control),
+                energy_control=float(energy_control),
+                speaker_name=int(speaker))
+            win0 = None
         n = int(np.asarray(out["mel_lens"])[0])
+
+        start_frame = 0
+        if win0 is not None and n >= chunk_frames + halo:
+            # exact: all chunk+halo window frames are real mel content
+            wav0 = np.asarray(win0, np.float32)[
+                0, halo * hop : (halo + chunk_frames) * hop]
+            yield (wav0 * scale).astype(np.int16)
+            start_frame = chunk_frames
+
         mel = np.asarray(out["postnet_mel"], np.float32)[:1, : max(n, 1)]
-        halo = generator_receptive_field(self.king.cfg.vocoder)
-        scale = self.king.cfg.vocoder.max_wav_value
-        hop = self.king.cfg.preprocess.stft.hop_length
         for chunk in stream_vocoder(self.king.vocoder._apply,
                                     self.king.vocoder.variables, mel,
                                     chunk_frames=chunk_frames,
-                                    halo_frames=halo, hop=hop):
+                                    halo_frames=halo, hop=hop,
+                                    start_frame=start_frame):
             yield (np.asarray(chunk, np.float32) * scale).astype(np.int16)
+
+    def _first_window(self, mel_dev, chunk_frames: int, halo: int):
+        """Dispatch the vocoder on mel frames [0, chunk+halo) with the left
+        halo edge-padded in-graph, taking the DEVICE-resident (possibly
+        still computing) FS2 output — no host transfer in between."""
+        import jax
+        import jax.numpy as jnp
+
+        key = (chunk_frames, halo)
+        fn = self._first_window_fns.get(key)
+        if fn is None:
+            apply = self.king.vocoder._apply
+
+            @jax.jit
+            def fn(variables, mel):
+                left = jnp.repeat(mel[:1, :1], halo, axis=1)
+                window = jnp.concatenate(
+                    [left, mel[:1, : chunk_frames + halo]], axis=1)
+                return apply(variables, window)
+
+            self._first_window_fns[key] = fn
+        return fn(self.king.vocoder.variables, mel_dev)
 
     def close(self):
         self._stop.set()
@@ -244,11 +360,28 @@ class SynthesisServer:
             return split
         return [reqs]
 
+    def _shed_expired(self, batch):
+        """Drop requests whose deadline passed while queued — before any
+        device compute is spent on them."""
+        now = _now()
+        alive = []
+        for req in batch:
+            if req.deadline is not None and now > req.deadline:
+                req.future.set_exception(DeadlineExceeded(
+                    f"deadline passed after {now - req.t_submit:.3f}s "
+                    f"in queue"))
+                with self._stats_lock:
+                    self._counters["shed"] += 1
+            else:
+                alive.append(req)
+        return alive
+
     def _dispatcher(self):
         while not self._stop.is_set():
             batch = self._gather_batch()
             if not batch:
                 continue
+            batch = self._shed_expired(batch)
             groups = {}
             for req in batch:
                 groups.setdefault(req.controls, []).append(req)
@@ -295,7 +428,11 @@ class SynthesisServer:
                 continue
             try:
                 self._complete_batch(reqs, handles)
+                with self._stats_lock:
+                    self._counters["completed"] += len(reqs)
             except Exception as e:
+                with self._stats_lock:
+                    self._counters["failed"] += len(reqs)
                 for req in reqs:
                     if not req.future.done():
                         req.future.set_exception(e)
@@ -371,9 +508,12 @@ def serve_http(king, host="127.0.0.1", port=8765, **server_kw):
 
     Endpoints:
       GET  /health  -> {"ok": true, "speakers": N}
+      GET  /stats   -> admission/shedding counters + queue depth
       POST /tts     -> WAV file; JSON body {"text" | "phonemes": [...],
                        "speaker", "duration_control", "pitch_control",
-                       "energy_control"}
+                       "energy_control", "deadline_ms"}; 429 + Retry-After
+                       when the admission queue is full, 504 when the
+                       deadline passes before dispatch
       POST /stream  -> chunked raw int16 PCM (audio/L16), same body —
                        first chunk after one FS2 call + one vocoder window
 
@@ -397,22 +537,37 @@ def serve_http(king, host="127.0.0.1", port=8765, **server_kw):
             n = int(self.headers.get("Content-Length", 0))
             return _json.loads(self.rfile.read(n) or b"{}")
 
-        def _synth_kwargs(self, body):
+        def _synth_kwargs(self, body, with_deadline=False):
             kw = dict(speaker=body.get("speaker", 0))
             for k in ("duration_control", "pitch_control", "energy_control"):
                 if k in body:
                     kw[k] = float(body[k])
+            if with_deadline and "deadline_ms" in body:
+                kw["deadline_ms"] = float(body["deadline_ms"])
             if "phonemes" in body:
                 kw["phonemes"] = np.asarray(body["phonemes"], np.int32)
             else:
                 kw["text"] = body["text"]
             return kw
 
+        def _error(self, code, msg, retry_after=None):
+            payload = _json.dumps({"error": msg}).encode()
+            try:
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                if retry_after is not None:
+                    self.send_header("Retry-After", str(retry_after))
+                self.end_headers()
+                self.wfile.write(payload)
+            except Exception:
+                pass
+
         def do_GET(self):
-            if self.path == "/health":
-                payload = _json.dumps(
-                    {"ok": True,
-                     "speakers": len(king.speakers)}).encode()
+            if self.path in ("/health", "/stats"):
+                doc = ({"ok": True, "speakers": len(king.speakers)}
+                       if self.path == "/health" else server.stats())
+                payload = _json.dumps(doc).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(payload)))
@@ -425,8 +580,15 @@ def serve_http(king, host="127.0.0.1", port=8765, **server_kw):
             try:
                 body = self._body()
                 if self.path == "/tts":
-                    wav = server.submit(**self._synth_kwargs(body)).result(
-                        timeout=600)
+                    try:
+                        fut = server.submit(
+                            **self._synth_kwargs(body, with_deadline=True))
+                    except ServerOverloaded as e:
+                        return self._error(429, str(e), retry_after=1)
+                    try:
+                        wav = fut.result(timeout=600)
+                    except DeadlineExceeded as e:
+                        return self._error(504, str(e))
                     buf = io.BytesIO()
                     with wave.open(buf, "wb") as w:
                         w.setnchannels(1)
