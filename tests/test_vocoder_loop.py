@@ -31,8 +31,14 @@ def test_vocoder_loop_and_checkpoint(tmp_path):
         wavs.append(str(p))
 
     vc.batch_size = 2
+    # batch 2 cannot shard over the 8 virtual devices: the driver must fail
+    # loudly (same contract as the FS2 loop), not silently go single-device
+    with pytest.raises(ValueError, match="does not shard evenly"):
+        train_vocoder(cfg, wavs, max_steps=2,
+                      disc_p_channels=(4, 8, 8, 8, 8), msd_width=32)
     state = train_vocoder(cfg, wavs, max_steps=2, log_every=1, save_every=2,
-                          disc_p_channels=(4, 8, 8, 8, 8), msd_width=32)
+                          disc_p_channels=(4, 8, 8, 8, 8), msd_width=32,
+                          use_mesh=False)
     assert int(state.step) == 2
 
     ckpt_dir = os.path.join(cfg.train.ckpt_path, "vocoder")

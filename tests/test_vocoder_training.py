@@ -97,3 +97,46 @@ def test_mel_dataset_segments(tmp_path):
     frames = cfg.segment_size // cfg.hop_size
     assert b["mel"].shape == (2, frames, cfg.num_mels)
     assert b["mel_loss"].shape == (2, frames, cfg.num_mels)
+
+
+def test_gan_step_sharded_equals_unsharded(trainer_and_state):
+    """DP over the virtual 8-device mesh changes nothing numerically: one
+    GAN step on a dp-sharded batch with replicated params bit-matches the
+    single-device step (same contract the FS2 step has)."""
+    import jax
+
+    from tts_king_tpu.parallel.mesh import (build_mesh, globalize_batch,
+                                            replicated)
+
+    cfg, tr, state0 = trainer_and_state
+    frames = cfg.segment_size // cfg.hop_size
+    rng = np.random.RandomState(7)
+    B = 8
+    t = np.arange(cfg.segment_size) / cfg.sampling_rate
+    wav = np.stack([0.4 * np.sin(2 * np.pi * (150 + 30 * i) * t)
+                    for i in range(B)]).astype(np.float32)
+    from tts_king_tpu.ops.stft import hifigan_mel
+
+    mel = np.asarray(hifigan_mel(wav, cfg.n_fft, cfg.num_mels,
+                                 cfg.sampling_rate, cfg.hop_size,
+                                 cfg.win_size, 0.0, 8000.0))[:, :frames]
+    batch = {"mel": mel, "wav": wav, "mel_loss": mel}
+
+    step = jax.jit(tr.make_train_step())
+    ref_state, ref_losses = step(state0, batch)
+
+    mesh = build_mesh(dp=-1, tp=1)
+    sh_state = jax.device_put(state0, replicated(mesh))
+    sh_batch = globalize_batch(mesh, batch)
+    new_state, losses = step(sh_state, sh_batch)
+
+    np.testing.assert_allclose(float(losses.disc), float(ref_losses.disc),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(losses.gen), float(ref_losses.gen),
+                               rtol=1e-5)
+    a = jax.device_get(new_state.gen_params)
+    b = jax.device_get(ref_state.gen_params)
+    flat_a = jax.tree_util.tree_leaves(a)
+    flat_b = jax.tree_util.tree_leaves(b)
+    for x, y in zip(flat_a, flat_b):
+        np.testing.assert_allclose(x, y, rtol=2e-5, atol=2e-6)

@@ -76,16 +76,66 @@ class MelDataset:
             self.fmax_loss or self.fmax))[0]
         return mel.astype(np.float32), wav.astype(np.float32), mel_loss
 
+    def _load_segment(self, idx: int, rng: random.Random):
+        """(wav_segment, mel_or_None): the aligned crop WITHOUT computing
+        any spectrogram — mels are computed batched in batches()."""
+        cfg = self.cfg
+        wav = load_wav(self.paths[idx], cfg.sampling_rate)
+        if not self.fine_tuning:
+            if self.split:
+                wav = self._segment(wav, rng)
+            return wav.astype(np.float32), None
+        base = os.path.splitext(os.path.basename(self.paths[idx]))[0]
+        mel = np.load(os.path.join(self.base_mels_path, base + ".npy"))
+        if mel.ndim == 2 and mel.shape[0] == cfg.num_mels:
+            mel = mel.T
+        if self.split:
+            if mel.shape[0] >= self.frames_per_seg:
+                start = rng.randint(0, mel.shape[0] - self.frames_per_seg)
+                mel = mel[start : start + self.frames_per_seg]
+                wav = wav[start * cfg.hop_size :
+                          (start + self.frames_per_seg) * cfg.hop_size]
+            else:
+                mel = np.pad(mel, ((0, self.frames_per_seg - mel.shape[0]),
+                                   (0, 0)))
+            if len(wav) < cfg.segment_size:
+                wav = np.pad(wav, (0, cfg.segment_size - len(wav)))
+            wav = wav[: cfg.segment_size]
+        return wav.astype(np.float32), mel.astype(np.float32)
+
     def batches(self, batch_size: int, seed: int = 0):
-        """Yield dict batches of aligned (mel, wav, mel_loss) segments."""
+        """Yield dict batches of aligned (mel, wav, mel_loss) segments.
+
+        Split mode computes the mels for the WHOLE batch in one (two, with
+        a distinct fmax_loss) hifigan_mel call on equal-length segments —
+        per-item spectrogram calls cost a device round trip each and were
+        the input-pipeline bottleneck for GAN training."""
+        cfg = self.cfg
         rng = random.Random(seed)
         order = list(range(len(self.paths)))
         rng.shuffle(order)
         for start in range(0, len(order) - batch_size + 1, batch_size):
-            items = [self.load_item(i, rng)
-                     for i in order[start : start + batch_size]]
-            yield {
-                "mel": np.stack([m for m, _, _ in items]),
-                "wav": np.stack([w for _, w, _ in items]),
-                "mel_loss": np.stack([l for _, _, l in items]),
-            }
+            idxs = order[start : start + batch_size]
+            if not self.split:
+                # variable lengths: per-item path (batch_size 1 use only)
+                items = [self.load_item(i, rng) for i in idxs]
+                yield {
+                    "mel": np.stack([m for m, _, _ in items]),
+                    "wav": np.stack([w for _, w, _ in items]),
+                    "mel_loss": np.stack([l for _, _, l in items]),
+                }
+                continue
+            loaded = [self._load_segment(i, rng) for i in idxs]
+            wav_b = np.stack([w for w, _ in loaded])
+            mel_loss_b = np.asarray(hifigan_mel(
+                wav_b, cfg.n_fft, cfg.num_mels, cfg.sampling_rate,
+                cfg.hop_size, cfg.win_size, cfg.mel_fmin,
+                self.fmax_loss or self.fmax), np.float32)
+            if self.fine_tuning:
+                mel_b = np.stack([m for _, m in loaded])
+            else:
+                mel_b = np.asarray(hifigan_mel(
+                    wav_b, cfg.n_fft, cfg.num_mels, cfg.sampling_rate,
+                    cfg.hop_size, cfg.win_size, cfg.mel_fmin, self.fmax),
+                    np.float32)
+            yield {"mel": mel_b, "wav": wav_b, "mel_loss": mel_loss_b}
