@@ -1,14 +1,19 @@
 #!/usr/bin/env python
-"""Standalone validation-loss evaluation (fs_two/evaluate.py __main__
-equivalent, minus its stale imports).
+"""Standalone validation evaluation (fs_two/evaluate.py __main__ equivalent,
+minus its stale imports) — teacher-forced losses plus, with --objective,
+free-running objective metrics (MCD, duration MAE, and F0-RMSE / V-UV F1
+when a vocoder checkpoint is configured) that the reference never reports.
 
-Usage: python scripts/evaluate.py config.yaml [--restore-step N] [--split val.txt]
+Usage: python scripts/evaluate.py config.yaml [--restore-step N]
+       [--split val.txt] [--objective] [--objective-utts 16]
 """
 
 import argparse
 import json
 import os
 import sys
+
+import numpy as np
 
 sys.path.insert(0, ".")
 
@@ -18,6 +23,10 @@ def main():
     ap.add_argument("config", nargs="?", default=None)
     ap.add_argument("--restore-step", type=int, default=None)
     ap.add_argument("--split", default="val.txt")
+    ap.add_argument("--objective", action="store_true",
+                    help="also compute free-running MCD / duration MAE / "
+                         "F0 metrics (train/metrics.py)")
+    ap.add_argument("--objective-utts", type=int, default=16)
     args = ap.parse_args()
 
     import jax
@@ -51,6 +60,31 @@ def main():
               for name, v in zip(LOSS_NAMES, tuple(losses))}
     report["step"] = int(payload["step"])
     report["num_utterances"] = len(ds)
+
+    if args.objective:
+        from tts_king_tpu.train.metrics import evaluate_objective
+
+        vocode_fn = f0_fn = None
+        if cfg.vocoder.weights_path and os.path.exists(
+                cfg.vocoder.weights_path):
+            from tts_king_tpu.ops.f0 import yin_f0
+            from tts_king_tpu.pipeline import Vocoder
+
+            voc = Vocoder(cfg)
+            sr = cfg.preprocess.audio.sampling_rate
+            hop = cfg.preprocess.stft.hop_length
+            vocode_fn = lambda mel: np.asarray(
+                voc.generate(mel[None].astype(np.float32)), np.float32
+            )[0] / cfg.vocoder.max_wav_value
+            f0_fn = lambda wav: np.asarray(yin_f0(wav[None], sr, hop))[0]
+        variables = {"params": payload["params"],
+                     "batch_stats": payload["batch_stats"]}
+        obj = evaluate_objective(model, variables, ds,
+                                 max_utts=args.objective_utts,
+                                 vocode_fn=vocode_fn, f0_fn=f0_fn,
+                                 max_mel_len=cfg.model.max_seq_len)
+        report.update({k: (round(v, 4) if np.isfinite(v) else None)
+                       for k, v in obj.items()})
     print(json.dumps(report))
 
 

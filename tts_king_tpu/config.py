@@ -92,6 +92,9 @@ class TrainConfig:
     # default 0.15 — fs_two/dataset.py:149; here it actually runs.)
     max_masks_per_sentence: float = 0.15
     seed: int = 1234
+    # Free-running objective metrics (MCD/duration-MAE, train/metrics.py)
+    # over this many val utterances at every val_step; 0 disables.
+    objective_val_utts: int = 8
 
 
 @dataclass

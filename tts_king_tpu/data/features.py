@@ -235,6 +235,12 @@ class Preprocessor:
         base = f"{p.speaker}-{{}}-{p.basename}.npy"
         np.save(self._path("duration", base), np.asarray(p.durations))
         np.save(self._path("pitch", base, "pitch"), pitch)
+        # Frame-level raw F0 (Hz, 0 = unvoiced), untouched by normalization:
+        # the objective evaluation metrics (train/metrics.py — F0-RMSE and
+        # V/UV F1 on free-running synthesis) need it. The reference discards
+        # it after phoneme averaging (preprocessor.py:224-266).
+        np.save(self._path("pitch", base, "frame-pitch"),
+                f0.astype(np.float32))
         np.save(self._path("pitch", base, "cwt-pitch"), cwt_pitch)
         np.save(self._path("pitch", base, "pitch-mean"), pitch_mean)
         np.save(self._path("pitch", base, "pitch-std"), pitch_std)
@@ -354,7 +360,8 @@ class Preprocessor:
         d = os.path.join(self.out_dir, subdir)
         vmin, vmax = np.finfo(np.float64).max, np.finfo(np.float64).min
         for fname in os.listdir(d):
-            if "std" in fname or "mean" in fname or "cwt" in fname:
+            if ("std" in fname or "mean" in fname or "cwt" in fname
+                    or "frame" in fname):
                 continue
             path = os.path.join(d, fname)
             values = (np.load(path) - mean) / std
