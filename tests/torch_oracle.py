@@ -439,7 +439,28 @@ def job_reference_inverse_cwt(data):
     return {"recon": out.numpy()}
 
 
+def job_pyworld_f0(data):
+    """pyworld dio+stonemask at hop period — the reference's exact F0 call
+    (fs_two/preprocessor/preprocessor.py:207-213). pyworld is not
+    installable in this environment; the job exists so that any environment
+    where it IS importable records golden fixtures on first run
+    (oracle_util record/replay), closing DIO parity numerically. Raises a
+    recognizable marker otherwise (the test skips on it)."""
+    try:
+        import pyworld as pw
+    except ImportError as e:
+        raise RuntimeError("PYWORLD_UNAVAILABLE") from e
+
+    wav = data["wav"].astype(np.float64)
+    sr = int(data["sr"])
+    hop = int(data["hop"])
+    f0, t = pw.dio(wav, sr, frame_period=hop / sr * 1000)
+    f0 = pw.stonemask(wav, f0, t, sr)
+    return {"f0": f0.astype(np.float64)}
+
+
 JOBS = {
+    "pyworld_f0": job_pyworld_f0,
     "conv1d": job_conv1d,
     "torch_stft": job_torch_stft,
     "reference_inverse_cwt": job_reference_inverse_cwt,
