@@ -411,3 +411,58 @@ def test_stream_speculative_first_window(king):
     # between the fused and host-padded window programs
     assert np.mean(np.abs(got.astype(np.int32)
                           - want.astype(np.int32)) > 1) < 0.001
+
+
+def test_optimal_buckets_dp():
+    """Exact DP beats the power-of-2 grid on a skewed distribution and
+    reproduces trivial cases."""
+    from tts_king_tpu.pipeline import _phone_bucket
+    from tts_king_tpu.serve import optimal_buckets
+
+    # trivial: fewer uniques than k
+    assert optimal_buckets([5, 5, 9], 4) == [5, 9]
+    # max must be a top
+    tops = optimal_buckets([3, 3, 3, 3, 100], 2)
+    assert tops[-1] == 100 and 3 in tops
+    # skew: most mass at 17 (pow2 pads to 32); DP with 3 tops must cut
+    # total padding vs the pow2 grid
+    rng = np.random.RandomState(0)
+    lens = np.concatenate([np.full(90, 17), rng.randint(40, 48, 10)])
+    tops = optimal_buckets(lens, 3)
+    dp_cost = sum(min(t for t in tops if t >= l) for l in lens)
+    pow2_cost = sum(_phone_bucket(l) for l in lens)
+    assert dp_cost < 0.75 * pow2_cost
+    # every value is covered
+    assert max(lens) <= tops[-1]
+
+
+def test_suggest_buckets_from_load(king):
+    """The server derives better padding grids from its recorded load and
+    tuned grids actually drive the pipeline."""
+    from tts_king_tpu.serve import SynthesisServer
+
+    server = SynthesisServer(king, max_batch=4)
+    try:
+        rng = np.random.RandomState(2)
+        futures = [server.submit(phonemes=rng.randint(64, 200, size=(18,)))
+                   for _ in range(12)]
+        for f in futures:
+            f.result(timeout=300)
+        sug = server.suggest_buckets(k_batch=2, k_len=2)
+    finally:
+        server.close()
+    assert sug["n_requests"] == 12 and sug["n_dispatches"] >= 1
+    assert sug["phone_buckets"][-1] == 18
+    assert sug["phone_padded_ratio_vs_current"] < 1.0  # beats pow2 (32)
+    assert 1 in sug["batch_buckets"]
+
+    # applying the tuned grid changes the padded shape the pipeline uses
+    king.tts.phone_buckets = sug["phone_buckets"]
+    try:
+        out = king.tts.generate(np.asarray([[70] * 18], np.int32),
+                                speaker_name=0, defer_overflow=True)
+        # L padded to exactly 18 (the tuned top), not 32
+        # (postnet_mel length is mel-bucketed; check via duration shape)
+        assert out["duration_rounded"].shape[1] == 18
+    finally:
+        king.tts.phone_buckets = None

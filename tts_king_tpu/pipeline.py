@@ -115,6 +115,7 @@ class AcousticModel:
                 else x, self.variables)
 
         self._apply = {}
+        self.phone_buckets = None   # optional tuned L-padding grid
 
     def _compiled(self, max_mel_len):
         # one jit; jax caches per static max_mel_len bucket internally
@@ -142,7 +143,10 @@ class AcousticModel:
         """
         phonemes = np.asarray(phonemes)
         B, L = phonemes.shape
-        Lb = _phone_bucket(L)
+        # phone_buckets: opt-in load-tuned padding grid (serve.py
+        # suggest_buckets); default power-of-2 buckets otherwise.
+        Lb = (_bucket(L, self.phone_buckets) if self.phone_buckets
+              else _phone_bucket(L))
         texts = np.zeros((B, Lb), np.int32)
         texts[:, :L] = phonemes
         src_lens = (np.asarray(src_lens, np.int32) if src_lens is not None

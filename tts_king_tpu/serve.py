@@ -42,6 +42,48 @@ import numpy as np
 _now = time.monotonic
 
 
+def optimal_buckets(values, k: int):
+    """Choose <=k bucket tops from observed integer sizes minimizing the
+    total padded sum (every value pads up to the smallest chosen top >= it;
+    the max must be a top). Exact O(U^2 k) DP over the U unique values —
+    the basis of load-derived padding grids (suggest_buckets)."""
+    vals = np.asarray(sorted(values), dtype=np.int64)
+    if len(vals) == 0:
+        return []
+    uniq, counts = np.unique(vals, return_counts=True)
+    U = len(uniq)
+    if U <= k:
+        return [int(u) for u in uniq]
+    csum = np.concatenate([[0], np.cumsum(counts)])
+
+    def cost(i, j):     # values in uniq[i..j] all pad to uniq[j]
+        return int(uniq[j]) * int(csum[j + 1] - csum[i])
+
+    INF = float("inf")
+    # dp[j][m]: min cost covering uniq[0..j] with m tops, top at j
+    dp = [[INF] * (k + 1) for _ in range(U)]
+    arg = [[None] * (k + 1) for _ in range(U)]
+    for j in range(U):
+        dp[j][1] = cost(0, j)
+    for m in range(2, k + 1):
+        for j in range(m - 1, U):
+            best, bi = INF, None
+            for i in range(m - 2, j):
+                c = dp[i][m - 1] + cost(i + 1, j)
+                if c < best:
+                    best, bi = c, i
+            dp[j][m] = best
+            arg[j][m] = bi
+    m = min(k, U)
+    tops = [int(uniq[U - 1])]
+    j = U - 1
+    while m > 1:
+        i = arg[j][m]
+        tops.append(int(uniq[i]))
+        j, m = i, m - 1
+    return sorted(tops)
+
+
 class ServerOverloaded(RuntimeError):
     """Admission queue is full — the request was rejected, not enqueued.
 
@@ -101,6 +143,12 @@ class SynthesisServer:
         self._queue: "queue.Queue[_Request]" = queue.Queue(
             maxsize=admission_depth)
         self._first_window_fns: dict = {}   # (chunk, halo) -> jitted fn
+        # Load traces for bucket autotuning (suggest_buckets): per-request
+        # phoneme lengths and per-dispatch formed batch sizes.
+        from collections import deque
+
+        self._trace_lens: deque = deque(maxlen=8192)
+        self._trace_batches: deque = deque(maxlen=2048)
         # 3-stage pipeline: dispatcher -> _mid (FS2 in flight) -> vocoder
         # thread -> _inflight (vocoder in flight) -> completer.
         self._mid: "queue.Queue" = queue.Queue(maxsize=pipeline_depth)
@@ -151,7 +199,39 @@ class SynthesisServer:
                 f"waiting); retry with backoff") from None
         with self._stats_lock:
             self._counters["admitted"] += 1
+        self._trace_lens.append(len(req.phonemes))
         return req.future
+
+    def suggest_buckets(self, k_batch: int = 3, k_len: int = 5) -> dict:
+        """Derive padding grids from the MEASURED load instead of the
+        static {1,4,max}xpow2 defaults: exact-DP bucket tops minimizing
+        total padded work over the recorded traces (per-request phoneme
+        lengths, per-dispatch formed batch sizes). Returns the suggestion
+        plus the padded-work ratio vs the current grids; apply by
+        constructing the next server with batch_buckets=... and setting
+        king.tts.phone_buckets (each new bucket is one XLA compile, so
+        this is an explicit operation, not continuous adaptation)."""
+        from tts_king_tpu.pipeline import _bucket, _phone_bucket
+
+        lens = list(self._trace_lens)
+        batches = list(self._trace_batches)
+        out = {"n_requests": len(lens), "n_dispatches": len(batches)}
+        if lens:
+            tops = optimal_buckets(lens, k_len)
+            cur = sum(_phone_bucket(l) for l in lens)
+            new = sum(_bucket(l, tops) for l in lens)
+            out["phone_buckets"] = tops
+            out["phone_padded_ratio_vs_current"] = round(new / max(cur, 1), 4)
+        if batches:
+            tops = optimal_buckets(batches, k_batch)
+            if 1 not in tops:            # keep a singles lane
+                tops = [1] + tops
+            cur = sum(next((x for x in self.batch_buckets if x >= b), b)
+                      for b in batches)
+            new = sum(_bucket(b, tops) for b in batches)
+            out["batch_buckets"] = tops
+            out["batch_padded_ratio_vs_current"] = round(new / max(cur, 1), 4)
+        return out
 
     def stats(self) -> dict:
         """Admission/shedding counters + current queue depth."""
@@ -328,13 +408,11 @@ class SynthesisServer:
         requests -> three groups of ~5, each padded to B=16) TRIPLES the
         cost instead, which collapsed throughput under deep overload.
         The explicit cost test handles both regimes."""
-        from tts_king_tpu.pipeline import _phone_bucket
-
         if len(reqs) <= 4:
             return [reqs]
         groups = {}
         for r in reqs:
-            groups.setdefault(_phone_bucket(len(r.phonemes)), []).append(r)
+            groups.setdefault(self._pbucket(len(r.phonemes)), []).append(r)
         if len(groups) == 1:
             return [reqs]
         # merge tiny groups upward so no dispatch runs near-empty
@@ -354,11 +432,19 @@ class SynthesisServer:
         def cost(rs):
             b = next((x for x in self.batch_buckets if x >= len(rs)),
                      len(rs))
-            return b * _phone_bucket(max(len(r.phonemes) for r in rs))
+            return b * self._pbucket(max(len(r.phonemes) for r in rs))
 
         if sum(cost(g) for g in split) < cost(reqs):
             return split
         return [reqs]
+
+    def _pbucket(self, n: int) -> int:
+        """Phoneme-length padding bucket — the tuned grid when one is set
+        on the pipeline (suggest_buckets), the power-of-2 default else."""
+        from tts_king_tpu.pipeline import _bucket, _phone_bucket
+
+        pb = getattr(self.king.tts, "phone_buckets", None)
+        return _bucket(n, pb) if pb else _phone_bucket(n)
 
     def _shed_expired(self, batch):
         """Drop requests whose deadline passed while queued — before any
@@ -444,6 +530,7 @@ class SynthesisServer:
         overflow check generate() would sync on is deferred to the vocoder
         stage (defer_overflow)."""
         d_ctl, p_ctl, e_ctl = controls
+        self._trace_batches.append(len(reqs))
         L = max(len(r.phonemes) for r in reqs)
         B = next((b for b in self.batch_buckets if b >= len(reqs)),
                  len(reqs))
