@@ -101,12 +101,37 @@ def synth_utterance(phones, durations_s, speaker: Speaker, sr=22050,
     total = int(round(sum(durations_s) * sr))
     frac = np.arange(total) / max(total, 1)      # 0..1 through the utterance
     secs = np.arange(total) / sr
-    # declining F0 with slow vibrato, scaled per utterance
-    f0 = speaker.f0_base * (1.1 - 0.2 * frac) * (
+    # Prosody variance (r3: richer than a fixed declination so the pitch /
+    # energy / duration predictors have real utterance- and word-level
+    # structure to learn, VERDICT r2 weak-#7):
+    #   * per-utterance F0 scale and declination depth;
+    #   * per-word F0 accents (smooth bumps spanning each word);
+    #   * per-word amplitude (energy) variation, applied below.
+    base_scale = rng.uniform(0.92, 1.08)
+    decl = rng.uniform(0.10, 0.32)
+    f0 = speaker.f0_base * base_scale * (1.1 - decl * frac) * (
         1.0 + 0.03 * np.sin(2 * np.pi * (4.5 + rng.rand()) * secs))
+    # word spans (split at sp/sil) -> accent + amplitude factors
+    word_accent = np.ones(total)
+    word_amp = {}
+    w_start, w_idx = 0.0, 0
+    pos_scan = 0.0
+    for phone, dur in zip(phones, durations_s):
+        pos_scan += dur
+        if phone in ("sil", "sp", "spn", ""):
+            a = int(round(w_start * sr))
+            b = min(int(round(pos_scan * sr)), total)
+            if b - a > 8:
+                acc = rng.uniform(0.92, 1.22)
+                span = np.linspace(0, np.pi, b - a)
+                word_accent[a:b] *= 1.0 + (acc - 1.0) * np.sin(span)
+            word_amp[w_idx] = rng.uniform(0.75, 1.2)
+            w_start, w_idx = pos_scan, w_idx + 1
+    f0 = f0 * word_accent
     wav = np.zeros(total)
     intervals = []
     pos = 0.0
+    widx = 0
     for phone, dur in zip(phones, durations_s):
         a = int(round(pos * sr))
         b = min(int(round((pos + dur) * sr)), total)
@@ -133,6 +158,10 @@ def synth_utterance(phones, durations_s, speaker: Speaker, sr=22050,
                                       (400 * speaker.tract_scale, centre),
                                       rng)
                 seg = 0.5 * seg + 0.3 * vseg / (np.std(vseg) + 1e-9) * 0.35
+        # per-word energy variation (the energy predictor's signal)
+        seg = seg * word_amp.get(widx, 1.0)
+        if phone in ("sil", "sp", "spn", ""):
+            widx += 1
         # 5 ms fade at both ends avoids clicks
         fade = min(n // 2, int(0.005 * sr))
         if fade > 0:
@@ -146,20 +175,28 @@ def synth_utterance(phones, durations_s, speaker: Speaker, sr=22050,
 
 
 def random_phrase(rng, n_words=(2, 5)):
-    """CV(C) word salad over the Russian phone inventory + sp separators."""
+    """CV(C) word salad over the Russian phone inventory + sp separators.
+
+    r3 prosody richness: a per-utterance speaking-rate factor scales every
+    duration, and one stressed syllable per word gets a lengthened vowel —
+    duration structure correlated with phone position, as in real speech.
+    """
     vowels = list(VOWELS)
     cons = list(CONSONANTS)
+    rate = rng.uniform(0.8, 1.25)
     phones, durs = ["sil"], [float(rng.uniform(0.05, 0.12))]
     for w in range(rng.randint(*n_words)):
         syllables = rng.randint(1, 4)
+        stressed = rng.randint(syllables)
         for s in range(syllables):
             phones.append(cons[rng.randint(len(cons))])
-            durs.append(float(rng.uniform(0.04, 0.10)))
+            durs.append(float(rng.uniform(0.04, 0.10)) * rate)
             phones.append(vowels[rng.randint(len(vowels))])
-            durs.append(float(rng.uniform(0.07, 0.18)))
+            v = float(rng.uniform(0.07, 0.18)) * rate
+            durs.append(v * (1.45 if s == stressed else 1.0))
         if rng.rand() < 0.5:
             phones.append(cons[rng.randint(len(cons))])
-            durs.append(float(rng.uniform(0.04, 0.09)))
+            durs.append(float(rng.uniform(0.04, 0.09)) * rate)
         phones.append("sp")
         durs.append(float(rng.uniform(0.03, 0.08)))
     phones[-1] = "sil"
