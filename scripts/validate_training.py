@@ -84,7 +84,7 @@ def main():
     # Parse the metrics JSONL the loop wrote.
     metrics_path = os.path.join(cfg.train.result_path,
                                 "validate.metrics.jsonl")
-    curve, val_curve = [], []
+    curve, val_curve, obj_curve = [], [], []
     with open(metrics_path) as f:
         for line in f:
             m = json.loads(line)
@@ -95,6 +95,11 @@ def main():
             elif m.get("phase") == "val":
                 val_curve.append({"step": m["step"], "total": m["total"],
                                   "mel": m["mel"]})
+            elif m.get("phase") == "objective":
+                # free-running MCD / duration-MAE (train/metrics.py, r3)
+                obj_curve.append({"step": m["step"], "mcd_db": m["mcd_db"],
+                                  "duration_mae_frames":
+                                      m["duration_mae_frames"]})
 
     first, last = curve[0], curve[-1]
     summary = {
@@ -111,7 +116,21 @@ def main():
             b["total"] <= a["total"] * 1.15
             for a, b in zip(val_curve, val_curve[1:]))) if len(val_curve) > 1 else None,
     }
-    out = {"summary": summary, "train_curve": curve, "val_curve": val_curve}
+    if obj_curve:
+        summary.update({
+            "mcd_db_first": round(obj_curve[0]["mcd_db"], 2),
+            "mcd_db_last": round(obj_curve[-1]["mcd_db"], 2),
+            "duration_mae_first": round(
+                obj_curve[0]["duration_mae_frames"], 3),
+            "duration_mae_last": round(
+                obj_curve[-1]["duration_mae_frames"], 3),
+            "objective_improved": bool(
+                obj_curve[-1]["mcd_db"] < obj_curve[0]["mcd_db"] and
+                obj_curve[-1]["duration_mae_frames"]
+                <= obj_curve[0]["duration_mae_frames"]),
+        })
+    out = {"summary": summary, "train_curve": curve,
+           "val_curve": val_curve, "objective_curve": obj_curve}
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
