@@ -389,7 +389,8 @@ def test_stream_speculative_first_window(king):
                                 speaker_name=0)
         n = int(np.asarray(out["mel_lens"])[0])
         assert n >= chunk + halo, "fixture too short to exercise the path"
-        assert server._first_window_fns, "speculative window never compiled"
+        assert server._fused_head_fns or server._first_window_fns, (
+            "neither the fused head nor the speculative window compiled")
         from tts_king_tpu.ops.streaming import stream_vocoder
 
         mel = np.asarray(out["postnet_mel"], np.float32)[:1, :n]

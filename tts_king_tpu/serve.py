@@ -143,6 +143,7 @@ class SynthesisServer:
         self._queue: "queue.Queue[_Request]" = queue.Queue(
             maxsize=admission_depth)
         self._first_window_fns: dict = {}   # (chunk, halo) -> jitted fn
+        self._fused_head_fns: dict = {}     # (Lb, T, chunk, halo) -> fn
         # Load traces for bucket autotuning (suggest_buckets): per-request
         # phoneme lengths and per-dispatch formed batch sizes.
         from collections import deque
@@ -284,18 +285,30 @@ class SynthesisServer:
         scale = self.king.cfg.vocoder.max_wav_value
         hop = self.king.cfg.preprocess.stft.hop_length
 
-        # FS2 dispatch without host sync (overflow check deferred) ...
-        out = self.king.tts.generate(
-            np.asarray(phonemes, np.int32)[None],
-            duration_control=float(duration_control),
-            pitch_control=float(pitch_control),
-            energy_control=float(energy_control),
-            speaker_name=int(speaker), defer_overflow=True)
-        bucket = out.get("mel_bucket", out["postnet_mel"].shape[1])
-        win0 = None
-        if bucket >= chunk_frames + halo:
-            # ... speculative first window, chained device-side.
-            win0 = self._first_window(out["postnet_mel"], chunk_frames, halo)
+        # FS2 + speculative first vocoder window. Preferred: ONE fused
+        # program (saves a whole dispatch round trip vs chaining two);
+        # falls back to generate() + device-chained window when fusion
+        # isn't applicable (mesh inference).
+        fused = self._fused_stream_head(phonemes, speaker,
+                                        (float(duration_control),
+                                         float(pitch_control),
+                                         float(energy_control)),
+                                        chunk_frames, halo)
+        if fused is not None:
+            out, win0, bucket = fused
+        else:
+            out = self.king.tts.generate(
+                np.asarray(phonemes, np.int32)[None],
+                duration_control=float(duration_control),
+                pitch_control=float(pitch_control),
+                energy_control=float(energy_control),
+                speaker_name=int(speaker), defer_overflow=True)
+            bucket = out.get("mel_bucket", out["postnet_mel"].shape[1])
+            win0 = None
+            if bucket >= chunk_frames + halo:
+                # speculative first window, chained device-side
+                win0 = self._first_window(out["postnet_mel"], chunk_frames,
+                                          halo)
         # Host sync on the realized lengths overlaps with win0's compute.
         raw = int(np.asarray(out["mel_lens_raw"])[0])
         if raw > bucket:
@@ -325,6 +338,61 @@ class SynthesisServer:
                                     halo_frames=halo, hop=hop,
                                     start_frame=start_frame):
             yield (np.asarray(chunk, np.float32) * scale).astype(np.int16)
+
+    def _fused_stream_head(self, phonemes, speaker, controls,
+                           chunk_frames: int, halo: int):
+        """FS2 forward + first vocoder window as ONE compiled program —
+        a single dispatch produces (mel, lens, first audio window). Returns
+        (out_dict, window_wav, mel_bucket) or None when not applicable
+        (mesh inference shards the acoustic model differently). Exactness
+        gating vs overflow / short utterances happens in stream()."""
+        import jax
+        import jax.numpy as jnp
+
+        from tts_king_tpu.pipeline import (MEL_BUCKETS, _bucket,
+                                           _FRAMES_PER_PHONE_GUESS,
+                                           _phone_bucket)
+
+        tts = self.king.tts
+        if getattr(tts, "mesh", None) is not None:
+            return None
+        phonemes = np.asarray(phonemes, np.int32)
+        L = len(phonemes)
+        pb = getattr(tts, "phone_buckets", None)
+        Lb = _bucket(L, pb) if pb else _phone_bucket(L)
+        d_ctl = controls[0]
+        guess = int(L * _FRAMES_PER_PHONE_GUESS * d_ctl)
+        max_cap = self.king.cfg.model.max_seq_len
+        T = min(_bucket(guess, MEL_BUCKETS), max_cap)
+        if T < chunk_frames + halo:
+            return None
+
+        key = (Lb, T, chunk_frames, halo)
+        fn = self._fused_head_fns.get(key)
+        if fn is None:
+            fs2_apply = tts._compiled(T)   # partial(model.apply, train=False)
+            voc_apply = self.king.vocoder._apply
+
+            @jax.jit
+            def fn(fs2_vars, voc_vars, speakers, texts, src_lens,
+                   d_c, p_c, e_c):
+                out = fs2_apply(fs2_vars, speakers, texts, src_lens,
+                                max_mel_len=T, d_control=d_c, p_control=p_c,
+                                e_control=e_c)
+                mel = out["postnet_mel"]
+                left = jnp.repeat(mel[:1, :1], halo, axis=1)
+                window = jnp.concatenate(
+                    [left, mel[:1, : chunk_frames + halo]], axis=1)
+                return out, voc_apply(voc_vars, window)
+
+            self._fused_head_fns[key] = fn
+
+        texts = np.zeros((1, Lb), np.int32)
+        texts[0, :L] = phonemes
+        out, win0 = fn(tts.variables, self.king.vocoder.variables,
+                       np.asarray([int(speaker)], np.int32), texts,
+                       np.asarray([L], np.int32), *controls)
+        return out, win0, T
 
     def _first_window(self, mel_dev, chunk_frames: int, halo: int):
         """Dispatch the vocoder on mel frames [0, chunk+halo) with the left
