@@ -37,22 +37,12 @@ def run_load_measured(king, policy, n, rate, seed=0, max_batch=16):
         return cb
 
     try:
-        # Warm every (batch-bucket, phoneme-bucket, mel-bucket) shape the
-        # load can hit — first-touch XLA compiles are 20-40 s each through
-        # the relay and would otherwise dominate the measurement. Bursts of
-        # 16 identical-length requests form full batches; the sequential
-        # singles warm the B=1 bucket.
-        for ln in (12, 16, 24, 32, 40, 48):
-            burst = [server.submit(phonemes=rng.randint(64, 200, size=(ln,)))
-                     for _ in range(max_batch)]
-            for f in burst:
-                f.result(timeout=900)
-            server.submit(
-                phonemes=rng.randint(64, 200, size=(ln,))).result(timeout=900)
-            fours = [server.submit(phonemes=rng.randint(64, 200, size=(ln,)))
-                     for _ in range(4)]
-            for f in fours:
-                f.result(timeout=900)
+        # Compile every shape the load can hit before measuring —
+        # first-touch XLA compiles are 20-40 s each through the relay and
+        # would otherwise dominate the measurement (and, mid-traffic,
+        # stall the pipeline: the production failure mode prewarm exists
+        # to prevent).
+        server.prewarm(max_phonemes=48)
         futures = []
         submit_at = []
         t_start = time.monotonic()
@@ -107,16 +97,11 @@ def run_overload_sustained(king, n, rate, admission_depth=64,
         return cb
 
     try:
-        # warm shapes (see run_load_measured)
-        for ln in (12, 16, 24, 32, 40, 48):
-            for f in [server.submit(phonemes=rng.randint(64, 200, size=(ln,)))
-                      for _ in range(max_batch)]:
-                f.result(timeout=900)
-            server.submit(
-                phonemes=rng.randint(64, 200, size=(ln,))).result(timeout=900)
-            for f in [server.submit(phonemes=rng.randint(64, 200, size=(ln,)))
-                      for _ in range(4)]:
-                f.result(timeout=900)
+        # Compile the full serving shape grid before offering load (see
+        # run_load_measured): an unwarmed shape hit mid-run stalls the
+        # pipeline for one 20-40 s compile, expiring everything queued
+        # behind it — measured as p99 13.6 s at 160 rps before prewarm.
+        server.prewarm(max_phonemes=48)
 
         futures = {}
         submit_at = {}

@@ -320,6 +320,50 @@ def test_deadline_shedding(king):
         server.close()
 
 
+def test_vocoder_stage_sheds_fully_expired_batch(king):
+    """A batch whose every member expired after FS2 dispatch is dropped at
+    the vocoder stage without spending vocoder compute — the handles are a
+    sentinel that would crash _vocode_batch (with TypeError, not
+    DeadlineExceeded) if the stage tried to vocode it."""
+    from tts_king_tpu.serve import (DeadlineExceeded, SynthesisServer,
+                                    _Request, _now)
+
+    server = SynthesisServer(king, max_batch=2)
+    try:
+        reqs = [_Request(np.arange(5, dtype=np.int32), 0, (1.0, 1.0, 1.0))
+                for _ in range(2)]
+        for r in reqs:
+            r.deadline = _now() - 1.0
+        server._mid.put((reqs, object()))
+        for r in reqs:
+            with pytest.raises(DeadlineExceeded):
+                r.future.result(timeout=60)
+        assert server.stats()["shed"] == 2
+    finally:
+        server.close()
+
+
+def test_prewarm_compiles_serving_grid(king):
+    """prewarm() walks the full (batch-bucket x phoneme-bucket x
+    mel-bucket) grid through the production jit caches and the server
+    serves normally afterwards."""
+    from tts_king_tpu.pipeline import MEL_BUCKETS
+    from tts_king_tpu.serve import SynthesisServer
+
+    server = SynthesisServer(king, max_batch=4)
+    try:
+        out = server.prewarm(max_phonemes=20)
+        assert out["batch_buckets"] == [1, 4]
+        assert out["phone_buckets"] == [16, 32]
+        assert out["mel_buckets"], "no vocoder shapes warmed"
+        assert set(out["mel_buckets"]) <= set(MEL_BUCKETS)
+        wav = server.submit(
+            phonemes=np.arange(64, 76, dtype=np.int32)).result(timeout=300)
+        assert wav.dtype == np.int16
+    finally:
+        server.close()
+
+
 def test_http_429_and_stats(king):
     """HTTP front maps ServerOverloaded to 429 (+Retry-After) and exposes
     /stats."""

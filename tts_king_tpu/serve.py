@@ -234,6 +234,51 @@ class SynthesisServer:
             out["batch_padded_ratio_vs_current"] = round(new / max(cur, 1), 4)
         return out
 
+    def prewarm(self, max_phonemes: int = 64, batch_sizes=None,
+                mel_buckets=None) -> dict:
+        """Compile every (batch-bucket, phoneme-bucket) FS2 executable and
+        (batch-bucket, mel-bucket) vocoder executable this server can
+        dispatch, BEFORE taking traffic.
+
+        A shape first touched mid-traffic stalls the whole pipeline for one
+        XLA compile (20-40 s through the relay), and every request queued
+        behind it eats the stall: measured at 2x overload, admitted-request
+        p99 was 13.6 s cold vs ~deadline-bounded prewarmed
+        (results/serving_load_test.jsonl). Compiles go through the same jit
+        caches the serving threads use (AcousticModel.generate /
+        Vocoder.__call__), so after prewarm every dispatch is a cache hit;
+        with jax_compilation_cache_dir set, repeat server starts skip the
+        compiles entirely.
+
+        The vocoder is warmed on the REAL FS2 output sliced to each mel
+        bucket — the exact dtype/layout the vocoder stage dispatches
+        (`_vocode_batch` tight slicing) — not on synthetic zeros.
+        Returns the warmed shape grids."""
+        from tts_king_tpu.pipeline import MEL_BUCKETS
+
+        bsizes = sorted(set(batch_sizes or self.batch_buckets))
+        pbs = sorted({self._pbucket(n)
+                      for n in range(1, max_phonemes + 1)})
+        warmed_mels = set()
+        for B in bsizes:
+            mel = None
+            for Lb in pbs:
+                out = self.king.tts.generate(
+                    np.ones((B, Lb), np.int32),
+                    src_lens=np.full((B,), Lb, np.int32),
+                    speaker_name=[0] * B, defer_overflow=True)
+                np.asarray(out["mel_lens_raw"])      # force the compile
+                if mel is None or out["postnet_mel"].shape[1] > mel.shape[1]:
+                    mel = out["postnet_mel"]
+            mbs = [b for b in (mel_buckets or MEL_BUCKETS)
+                   if b <= mel.shape[1]] or [mel.shape[1]]
+            for T in mbs:
+                wav = self.king.vocoder(mel[:, :T])
+                np.asarray(wav[:1, :1])              # force the compile
+                warmed_mels.add(T)
+        return {"batch_buckets": bsizes, "phone_buckets": pbs,
+                "mel_buckets": sorted(warmed_mels)}
+
     def stats(self) -> dict:
         """Admission/shedding counters + current queue depth."""
         with self._stats_lock:
@@ -566,6 +611,21 @@ class SynthesisServer:
                 reqs, handles = self._mid.get(timeout=0.05)
             except queue.Empty:
                 continue
+            now = _now()
+            if reqs and all(r.deadline is not None and now > r.deadline
+                            for r in reqs):
+                # Every request in the batch expired while FS2 was in
+                # flight (e.g. queued behind a cold compile): skip the
+                # vocoder dispatch — the dominant remaining compute would
+                # be spent on answers nobody is waiting for. Mixed batches
+                # proceed: the live items need the batch anyway.
+                for req in reqs:
+                    req.future.set_exception(DeadlineExceeded(
+                        f"deadline passed after {now - req.t_submit:.3f}s "
+                        f"(post-dispatch, pre-vocoder)"))
+                with self._stats_lock:
+                    self._counters["shed"] += len(reqs)
+                continue
             try:
                 self._inflight.put((reqs, self._vocode_batch(reqs, handles)))
             except Exception as e:
@@ -795,6 +855,15 @@ def main(argv=None):
     ap.add_argument("--max-batch", type=int, default=16)
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 inference compute")
+    ap.add_argument("--admission-depth", type=int, default=64,
+                    help="max queued requests before 429")
+    ap.add_argument("--default-deadline-ms", type=float, default=None,
+                    help="shed requests still queued past this deadline")
+    ap.add_argument("--prewarm", type=int, nargs="?", const=64, default=None,
+                    metavar="MAX_PHONEMES",
+                    help="compile the full serving shape grid before "
+                         "accepting traffic (avoids mid-traffic XLA "
+                         "compile stalls)")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -805,7 +874,14 @@ def main(argv=None):
     cfg = load_config(args.config) if args.config else TTSConfig()
     king = TTSKing(cfg, dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     httpd, server = serve_http(king, host=args.host, port=args.port,
-                               max_batch=args.max_batch)
+                               max_batch=args.max_batch,
+                               admission_depth=args.admission_depth,
+                               default_deadline_ms=args.default_deadline_ms)
+    if args.prewarm:
+        print("prewarming serving shape grid "
+              f"(max_phonemes={args.prewarm})...", flush=True)
+        print(f"prewarmed: {server.prewarm(max_phonemes=args.prewarm)}",
+              flush=True)
     print(f"serving on http://{args.host}:{httpd.server_address[1]} "
           f"(/tts /stream /health)", flush=True)
     try:
