@@ -1,5 +1,7 @@
 """Dynamic-batching synthesis server tests."""
 
+import types
+
 import numpy as np
 import pytest
 
@@ -125,6 +127,10 @@ def test_length_groups_split():
 
     server = object.__new__(SynthesisServer)
     server.batch_buckets = [1, 4, 16]
+    # _pbucket consults king.tts.phone_buckets (load-tuned grids); the
+    # stub uses the pow2 default
+    server.king = types.SimpleNamespace(tts=types.SimpleNamespace(
+        phone_buckets=None))
 
     def reqs(lengths):
         return [_Request(np.zeros((n,), np.int32), 0, (1.0, 1.0, 1.0))
