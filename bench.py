@@ -373,7 +373,8 @@ def bench_serving_ttfa(cfg):
             ttfas.append(time.perf_counter() - t0)
             for _ in gen:                       # drain
                 pass
-        used_speculative = bool(server._first_window_fns)
+        used_speculative = bool(server._first_window_fns
+                                or server._fused_head_fns)
     finally:
         server.close()
     return {"metric": "serving_time_to_first_audio",

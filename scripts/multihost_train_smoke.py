@@ -53,12 +53,31 @@ def _scrubbed_env(n_local=LOCAL_DEVICES) -> dict:
            if not k.startswith(("JAX_", "XLA_", "PALLAS_AXON", "AXON_",
                                 "TPU_"))}
     env["JAX_PLATFORMS"] = "cpu"
-    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_local}"
+    # The collective timeouts default to ~30 s. On a 1-core box a COLD
+    # compile cache makes worker skew minutes long (both processes compile
+    # every padded shape; the first to finish sits inside an executing
+    # Gloo collective while the other still compiles), which trips the
+    # default timeout and kills the run. Raise them well past worst-case
+    # compile skew — lockstep collectives bound steady-state skew anyway.
+    env["XLA_FLAGS"] = (f"--xla_force_host_platform_device_count={n_local}"
+                        " --xla_cpu_collective_timeout_seconds=900"
+                        " --xla_cpu_collective_call_terminate_timeout_seconds=900")
     # Persistent compile cache: the micro train step compiles once per
     # padded shape; repeated runs (and the resume phase) skip them all.
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(repo, ".jax_cache")
     env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0.5"
+    # Synchronous dispatch: each step call blocks until the collective
+    # completes, so the two workers rendezvous at EVERY step and host-side
+    # skew can never accumulate into a later Gloo context-init window
+    # (async dispatch let worker 0 queue 4 steps and reach orbax's
+    # save-time allgather — a NEW Gloo clique — 30+ s before worker 1
+    # had dispatched anything, tripping the hardcoded 30 s KV timeout).
+    env["JAX_CPU_ENABLE_ASYNC_DISPATCH"] = "false"
+    # Per-step dispatch timeline in each worker log (train/loop.py): the
+    # diagnostic that localizes cross-worker desync when a Gloo clique
+    # init or an orbax barrier times out.
+    env["TTK_TRAIN_TRACE"] = "1"
     return env
 
 
@@ -116,7 +135,7 @@ def prepare(root: str) -> None:
     print("prepared")
 
 
-def run_schedule(root: str, steps: int) -> dict:
+def run_schedule(root: str, steps: int, trace=lambda m: None) -> dict:
     """train() for `steps`, then RESUME from steps//2 and train to `steps`
     again; return final val losses (the resumed run's)."""
     import jax
@@ -129,13 +148,17 @@ def run_schedule(root: str, steps: int) -> dict:
     from tts_king_tpu.parallel.mesh import build_mesh, globalize_batch
 
     cfg = _config(root, steps)
+    trace("train #1 (fresh) starting")
     state = train(cfg, max_steps=steps)
     assert int(jax.device_get(state.step)) == steps
+    trace("train #1 done")
 
     # Distributed resume: restore the mid-run checkpoint, train to `steps`.
     cfg2 = _config(root, steps, restore_step=steps // 2)
+    trace("train #2 (resume) starting")
     state2 = train(cfg2, max_steps=steps)
     assert int(jax.device_get(state2.step)) == steps
+    trace("train #2 done; final eval")
 
     # Final val loss of the resumed state, computed over the global mesh.
     import json as _json
@@ -150,7 +173,10 @@ def run_schedule(root: str, steps: int) -> dict:
     val_ds = FS2Dataset("val.txt", pp, cfg.train, drop_last=False,
                         apply_masking=False, max_mel_len=cfg.model.max_seq_len,
                         shard=shard)
-    eval_step = jax.jit(make_eval_step(model, cfg.model.use_cwt))
+    from tts_king_tpu.parallel.lockstep import maybe_lockstep
+
+    eval_step = maybe_lockstep(jax.jit(make_eval_step(model, cfg.model.use_cwt)),
+                               "final_eval")
     globalize = None
     if jax.process_count() > 1 or len(jax.devices()) > 1:
         mesh = build_mesh(dp=cfg.mesh.dp, tp=cfg.mesh.tp)
@@ -160,15 +186,39 @@ def run_schedule(root: str, steps: int) -> dict:
             "val_mel": round(float(val.mel), 4)}
 
 
+def _trace(pid_tag, msg, t0=[None]):
+    """Timestamped stderr progress marker (lands in the per-worker log);
+    the first call anchors t=0 for that process."""
+    import time
+
+    if t0[0] is None:
+        t0[0] = time.time()
+    sys.stderr.write(f"[{pid_tag} t+{time.time() - t0[0]:7.1f}s] {msg}\n")
+    sys.stderr.flush()
+
+
 def worker(args) -> None:
+    # SIGUSR1 -> all-thread Python stack dump on stderr (the worker log):
+    # the one tool that answers "WHERE is the lagging worker?" when a Gloo
+    # clique init or a barrier times out.
+    import faulthandler
+    import signal
+
+    faulthandler.register(signal.SIGUSR1, all_threads=True)
+    tag = f"w{args.process_id}"
+    _trace(tag, f"start pid={os.getpid()}")
     import jax
 
+    _trace(tag, "jax imported; distributed.initialize...")
     jax.distributed.initialize(coordinator_address=args.coordinator,
                                num_processes=NUM_PROCESSES,
-                               process_id=args.process_id)
+                               process_id=args.process_id,
+                               initialization_timeout=600,
+                               shutdown_timeout_seconds=900)
+    _trace(tag, "distributed.initialize done")
     assert len(jax.devices()) == NUM_PROCESSES * LOCAL_DEVICES
     assert len(jax.local_devices()) == LOCAL_DEVICES
-    out = run_schedule(args.root, args.steps)
+    out = run_schedule(args.root, args.steps, trace=lambda m: _trace(tag, m))
     out.update(process_id=args.process_id,
                global_devices=len(jax.devices()))
     print(json.dumps(out))
@@ -205,7 +255,6 @@ def coordinator(args) -> None:
         [l for l in out.splitlines() if l.startswith("{")][-1])
     print(f"single-process reference: {expected}")
 
-    port = _free_port()
     here = os.path.abspath(__file__)
     repo = os.path.dirname(os.path.dirname(here))
     # Fresh ckpt/result dirs for the distributed run, shared corpus.
@@ -215,30 +264,63 @@ def coordinator(args) -> None:
         dst = os.path.join(dist_root, link)
         if not os.path.exists(dst):
             os.symlink(os.path.join(root, link), dst)
-    procs = [
-        subprocess.Popen(
-            [sys.executable, here, "--mode", "worker", "--root", dist_root,
-             "--steps", str(args.steps), "--process-id", str(i),
-             "--coordinator", f"localhost:{port}"],
-            env=_scrubbed_env(LOCAL_DEVICES), cwd=repo,
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
-        for i in range(NUM_PROCESSES)
-    ]
-    reports, ok = [], True
-    for p in procs:
-        try:
-            out, err = p.communicate(timeout=2400)
-        except subprocess.TimeoutExpired:
-            p.kill()
-            out, err = p.communicate()
-            ok = False
-        lines = [l for l in out.splitlines() if l.startswith("{")]
-        if p.returncode == 0 and lines:
-            reports.append(json.loads(lines[-1]))
-        else:
-            ok = False
-            sys.stderr.write(err[-3000:] + "\n")
-    if not ok or len(reports) != NUM_PROCESSES:
+
+    def worker_phase(attempt: int):
+        """Launch both workers; full per-worker stderr lands in
+        <dist_root>/worker<i>.attempt<k>.log for post-mortems (the old
+        3000-char tail got flooded by barrier spam and hid the root
+        cause)."""
+        # Partial orbax dirs from a failed prior attempt would poison
+        # this one's saves — start each attempt from clean ckpt/result.
+        import shutil
+        for sub in ("ckpt", "result"):
+            d = os.path.join(dist_root, sub)
+            shutil.rmtree(d, ignore_errors=True)
+            os.makedirs(d, exist_ok=True)
+        port = _free_port()
+        procs, logs = [], []
+        for i in range(NUM_PROCESSES):
+            log_path = os.path.join(dist_root,
+                                    f"worker{i}.attempt{attempt}.log")
+            logs.append(log_path)
+            procs.append(subprocess.Popen(
+                [sys.executable, "-u", here, "--mode", "worker",
+                 "--root", dist_root,
+                 "--steps", str(args.steps), "--process-id", str(i),
+                 "--coordinator", f"localhost:{port}"],
+                env=_scrubbed_env(LOCAL_DEVICES), cwd=repo,
+                stdout=subprocess.PIPE, stderr=open(log_path, "w"),
+                text=True))
+        reports, ok = [], True
+        for i, p in enumerate(procs):
+            try:
+                out, _ = p.communicate(timeout=2400)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                out, _ = p.communicate()
+                ok = False
+            lines = [l for l in out.splitlines() if l.startswith("{")]
+            if p.returncode == 0 and lines:
+                reports.append(json.loads(lines[-1]))
+            else:
+                ok = False
+                with open(logs[i]) as f:
+                    sys.stderr.write(
+                        f"--- worker {i} (attempt {attempt}, "
+                        f"full log {logs[i]}) tail:\n" + f.read()[-3000:]
+                        + "\n")
+        return ok and len(reports) == NUM_PROCESSES, reports
+
+    ok, reports = worker_phase(0)
+    if not ok:
+        # A cold persistent compile cache is the one legitimate failure
+        # mode here (first-ever run of new shapes on a slow box): attempt
+        # 0 populated the cache up to the point of failure, so a single
+        # retry runs with warm compiles and near-zero worker skew.
+        sys.stderr.write("worker phase failed; retrying once on the "
+                         "now-warm compile cache\n")
+        ok, reports = worker_phase(1)
+    if not ok:
         print(json.dumps({"ok": False}))
         sys.exit(1)
 

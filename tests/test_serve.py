@@ -260,6 +260,22 @@ def test_http_front_end(king):
             assert r.headers["Content-Type"].startswith("audio/L16")
             pcm = np.frombuffer(r.read(), np.int16)
         assert pcm.shape == wav_http.shape
+
+        # Errors raised BEFORE the first audio chunk (stream() is a
+        # generator — nothing runs until the handler's first next()) must
+        # come back as a clean JSON 500, not a connection reset after the
+        # chunked headers already went out.
+        bad = json.dumps({"phonemes": [70, 80, 90, 100],
+                          "speaker": "no-such-speaker"}).encode()
+        req = urllib.request.Request(f"{base}/stream", data=bad,
+                                     headers={"Content-Type":
+                                              "application/json"})
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            assert False, "expected HTTP 500"
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+            assert "error" in json.loads(e.read())
     finally:
         httpd.shutdown()
         server.close()

@@ -230,6 +230,29 @@ def _ckpt_dir(path, step):
     return os.path.join(os.path.abspath(path), f"step_{step:08d}")
 
 
+def _use_coordination_barriers():
+    """Multi-process runs: switch orbax's process synchronization from
+    collectives-based barriers (which on CPU ride Gloo, whose context
+    init has a hardcoded 30 s rendezvous timeout) to the JAX
+    coordination-service barrier (gRPC, 300 s timeout). Checkpoint-layer
+    sync should not ride data-plane collectives: a new Gloo clique built
+    mid-save races against whatever host-side skew the processes have
+    accumulated, and a lost race kills the whole job. No-op
+    single-process and on failure (older orbax without the flag)."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return
+    try:
+        from absl import flags
+
+        if not flags.FLAGS.is_parsed():
+            flags.FLAGS.mark_as_parsed()
+        flags.FLAGS.experimental_orbax_use_distributed_barrier = True
+    except Exception:
+        pass
+
+
 def save_train_state(path: str, step: int, variables: Dict[str, Any],
                      opt_state=None, extra: Optional[Dict[str, Any]] = None):
     """Save full train state. The speaker embedding is stored under its own
@@ -250,6 +273,7 @@ def save_train_state(path: str, step: int, variables: Dict[str, Any],
         "extra": extra or {},
         "step": step,
     }
+    _use_coordination_barriers()
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(_ckpt_dir(path, step), payload, force=True)
 
@@ -269,6 +293,7 @@ def restore_train_state(path: str, step: Optional[int] = None):
         if not steps:
             raise FileNotFoundError(f"no checkpoints under {path}")
         step = steps[-1]
+    _use_coordination_barriers()
     ckptr = ocp.PyTreeCheckpointer()
     payload = ckptr.restore(_ckpt_dir(path, step))
     params = dict(payload["params"])

@@ -354,8 +354,19 @@ class SynthesisServer:
                 # speculative first window, chained device-side
                 win0 = self._first_window(out["postnet_mel"], chunk_frames,
                                           halo)
-        # Host sync on the realized lengths overlaps with win0's compute.
-        raw = int(np.asarray(out["mel_lens_raw"])[0])
+        # ONE batched host fetch for everything the first yield needs:
+        # realized lengths + the speculative window. Separate np.asarray
+        # fetches each pay a full relay round trip (~28 ms on axon), and
+        # the old raw -> n -> win0 chain paid three of them before first
+        # audio (measured: 99 ms TTFA vs the 32 ms fused lower bound).
+        import jax
+
+        fetch = [out["mel_lens_raw"], out["mel_lens"]]
+        if win0 is not None:
+            fetch.append(win0)
+        fetched = jax.device_get(fetch)
+        raw = int(fetched[0][0])
+        win0_host = fetched[2] if win0 is not None else None
         if raw > bucket:
             # Rare mel-bucket overflow: redo synchronously (escalated
             # buckets), discard the speculative window.
@@ -365,13 +376,19 @@ class SynthesisServer:
                 pitch_control=float(pitch_control),
                 energy_control=float(energy_control),
                 speaker_name=int(speaker))
-            win0 = None
-        n = int(np.asarray(out["mel_lens"])[0])
+            win0_host = None
+            n = int(np.asarray(out["mel_lens"])[0])
+        else:
+            n = int(fetched[1][0])
 
         start_frame = 0
-        if win0 is not None and n >= chunk_frames + halo:
-            # exact: all chunk+halo window frames are real mel content
-            wav0 = np.asarray(win0, np.float32)[
+        if win0_host is not None and n >= chunk_frames + halo:
+            # exact: all chunk+halo window frames are real mel content.
+            # Start the mel's device->host copy in the background first so
+            # it overlaps the consumer handling the first chunk.
+            if hasattr(out["postnet_mel"], "copy_to_host_async"):
+                out["postnet_mel"].copy_to_host_async()
+            wav0 = np.asarray(win0_host, np.float32)[
                 0, halo * hop : (halo + chunk_frames) * hop]
             yield (wav0 * scale).astype(np.int16)
             start_frame = chunk_frames
@@ -740,9 +757,15 @@ def serve_http(king, host="127.0.0.1", port=8765, **server_kw):
     import json as _json
     import wave
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from itertools import chain
 
     server = SynthesisServer(king, **server_kw)
     sr = king.cfg.preprocess.audio.sampling_rate
+
+    class _StreamAborted(Exception):
+        """Mid-stream failure after the 200 + chunked headers went out;
+        the connection is dropped instead of writing a bogus second
+        response."""
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -817,19 +840,39 @@ def serve_http(king, host="127.0.0.1", port=8765, **server_kw):
                     self.end_headers()
                     self.wfile.write(data)
                 elif self.path == "/stream":
+                    gen = server.stream(**self._synth_kwargs(body))
+                    # Pull the first chunk BEFORE committing to a 200:
+                    # synthesis errors that fire before any audio exists
+                    # (bad text, G2P failure, unknown speaker) must come
+                    # back as clean JSON 500s, not a connection reset
+                    # halfway through a chunked response. Costs nothing —
+                    # the first chunk is the TTFA-critical work either way.
+                    first = next(gen, None)
                     self.send_response(200)
                     self.send_header("Content-Type",
                                      f"audio/L16;rate={sr};channels=1")
                     self.send_header("Transfer-Encoding", "chunked")
                     self.end_headers()
-                    for chunk in server.stream(**self._synth_kwargs(body)):
-                        data = np.asarray(chunk, np.int16).tobytes()
-                        self.wfile.write(f"{len(data):X}\r\n".encode())
-                        self.wfile.write(data)
-                        self.wfile.write(b"\r\n")
-                    self.wfile.write(b"0\r\n\r\n")
+                    chunks = (chain((first,), gen)
+                              if first is not None else gen)
+                    try:
+                        for chunk in chunks:
+                            data = np.asarray(chunk, np.int16).tobytes()
+                            self.wfile.write(f"{len(data):X}\r\n".encode())
+                            self.wfile.write(data)
+                            self.wfile.write(b"\r\n")
+                        self.wfile.write(b"0\r\n\r\n")
+                    except Exception:
+                        # Headers are out; a second status line would be
+                        # protocol garbage. Drop the connection — the
+                        # missing terminating 0-chunk tells the client
+                        # the stream was truncated.
+                        self.close_connection = True
+                        raise _StreamAborted()
                 else:
                     self.send_error(404)
+            except _StreamAborted:
+                pass
             except Exception as e:  # surface errors as 500 JSON
                 msg = _json.dumps({"error": str(e)}).encode()
                 try:

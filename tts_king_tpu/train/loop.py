@@ -89,6 +89,9 @@ def train(cfg: TTSConfig, max_steps: Optional[int] = None,
             f"batch_size divisible by dp, set mesh.dp to a divisor of the "
             f"batch size, or pass use_mesh=False to train single-device.")
 
+    if distributed:
+        _startup_rendezvous()
+
     rng = jax.random.PRNGKey(tc.seed)
     sample = next(iter(train_ds.epoch_superbatches(seed=0)), None)
     if sample is None:
@@ -133,8 +136,18 @@ def train(cfg: TTSConfig, max_steps: Optional[int] = None,
         state = shard_train_state(state, mesh, optimizer,
                                   fs2_param_specs(state.params))
 
-    train_step = jax.jit(make_train_step(model, optimizer, cfg.model.use_cwt))
-    eval_step = jax.jit(make_eval_step(model, cfg.model.use_cwt))
+    # Multi-process CPU (Gloo) runs: first dispatch of each new program
+    # shape is compiled + rendezvoused + warmed in lockstep, or a peer
+    # still compiling can miss a new Gloo clique's hardcoded 30 s context
+    # init window (parallel/lockstep.py has the full story). Identity on
+    # single-process and TPU-pod runs.
+    from tts_king_tpu.parallel.lockstep import maybe_lockstep
+
+    train_step = maybe_lockstep(
+        jax.jit(make_train_step(model, optimizer, cfg.model.use_cwt)),
+        "train_step")
+    eval_step = maybe_lockstep(
+        jax.jit(make_eval_step(model, cfg.model.use_cwt)), "eval_step")
 
     # Only process 0 writes metrics; all processes still run every
     # computation (collectives need all participants).
@@ -168,20 +181,48 @@ def train(cfg: TTSConfig, max_steps: Optional[int] = None,
     except (KeyboardInterrupt, Exception):
         # Failure containment (the reference has none, SURVEY.md §5.3):
         # persist an emergency checkpoint so the run is resumable, then
-        # re-raise for visibility.
+        # re-raise for visibility. Single-process only: a distributed
+        # orbax save is itself a collective (save barrier + sharded
+        # writes), and an exception is not guaranteed symmetric across
+        # processes — one process saving alone would block 10 min at the
+        # save barrier and bury the real error under a barrier timeout.
         try:
-            # device arrays go straight to orbax: on a multi-host mesh,
-            # device_get of non-addressable shards would fail, and orbax
-            # coordinates sharded saves natively (scripts/multihost_smoke.py)
-            save_train_state(tc.ckpt_path, step, state.variables(),
-                             state.opt_state)
-            logger.log(step, {"emergency_checkpoint": 1.0}, prefix="failure")
+            if jax.process_count() == 1:
+                # device arrays go straight to orbax (sharded-save safe)
+                save_train_state(tc.ckpt_path, step, state.variables(),
+                                 state.opt_state)
+                logger.log(step, {"emergency_checkpoint": 1.0},
+                           prefix="failure")
         finally:
             logger.close()
         raise
     save_train_state(tc.ckpt_path, step, state.variables(), state.opt_state)
     logger.close()
     return state
+
+
+def _step_tracer():
+    import sys
+
+    t0 = time.time()
+    rank = jax.process_index()
+
+    def trace(msg):
+        sys.stderr.write(f"[train p{rank} t+{time.time() - t0:7.1f}s] "
+                         f"{msg}\n")
+        sys.stderr.flush()
+
+    return trace
+
+
+def _startup_rendezvous(timeout_ms: int = 900_000):
+    """Block until every process finishes its uncoordinated startup work
+    (imports, corpus metadata, restore prep) before the first
+    cross-process collective is built; see parallel/lockstep.py for why
+    transport-level init timeouts make this necessary on CPU."""
+    from tts_king_tpu.parallel.lockstep import coordination_barrier
+
+    coordination_barrier("ttk_train_startup", timeout_ms)
 
 
 class _NullLogger:
@@ -202,8 +243,15 @@ def _run_epochs(cfg, state, step, total, epoch, train_ds, val_ds, train_step,
                 eval_globalize=None):
     tc = cfg.train
     done = False
+    # TTK_TRAIN_TRACE=1: per-step stderr progress markers (dispatch-time,
+    # monotonic seconds + process index). The intended tool for diagnosing
+    # multi-process desync — compare the per-step timelines of two worker
+    # logs to see which process lags where.
+    trace = (_step_tracer() if os.environ.get("TTK_TRAIN_TRACE")
+             else (lambda m: None))
     while not done:
         epoch += 1
+        trace(f"epoch {epoch} batch plan ready")
         for superbatch in train_ds.epoch_superbatches(seed=tc.seed + epoch):
             if mesh is not None:
                 # Per-process local rows -> one global sharded array
@@ -211,13 +259,23 @@ def _run_epochs(cfg, state, step, total, epoch, train_ds, val_ds, train_step,
                 superbatch = globalize_batch(mesh, superbatch,
                                              extra_leading_axis=True)
             rng, step_rng = jax.random.split(rng)
+            trace(f"step {step + 1} dispatch "
+                  f"shape={tuple(superbatch['texts'].shape)}")
             state, losses = train_step(state, superbatch, step_rng)
             step += 1
 
             if step % tc.step.log_step == 0:
                 dt = (time.time() - t_last) / tc.step.log_step
                 t_last = time.time()
-                logger.log_losses(step, losses, prefix="train",
+                # Fetch on EVERY process, not just the one that writes:
+                # forcing the async-dispatched step chain is a de-facto
+                # cross-process rendezvous (the chain ends in collectives),
+                # so a process-0-only float() lets the other processes race
+                # ahead unboundedly — on CPU/Gloo far enough that a later
+                # new clique's context init (hardcoded 30 s KV timeout,
+                # no flag reaches it) expires and kills the job.
+                host_losses = type(losses)(*jax.device_get(tuple(losses)))
+                logger.log_losses(step, host_losses, prefix="train",
                                   extra={"sec_per_step": dt, "epoch": epoch})
             if step % tc.step.val_step == 0:
                 val = evaluate(eval_step, state, val_ds,

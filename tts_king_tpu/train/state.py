@@ -85,4 +85,9 @@ def create_sharded_train_state(model, optimizer, rng, sample_batch_args,
         param_specs = fs2_param_specs(shape.params)
     specs = train_state_specs(shape, optimizer, param_specs)
     out_sh = make_shardings(mesh, specs)
-    return jax.jit(init, out_shardings=out_sh)(), specs
+    from tts_king_tpu.parallel.lockstep import maybe_lockstep
+
+    # The init program is the FIRST parallel program of a distributed
+    # run — its Gloo cliques must not init while a peer still compiles
+    # (parallel/lockstep.py). Identity outside multi-process CPU.
+    return maybe_lockstep(jax.jit(init, out_shardings=out_sh), "init")(), specs
