@@ -533,3 +533,54 @@ def test_suggest_buckets_from_load(king):
         assert out["duration_rounded"].shape[1] == 18
     finally:
         king.tts.phone_buckets = None
+
+
+def test_drain_and_serving_state_roundtrip(king, tmp_path):
+    """Graceful restart story: drain() completes admitted work while
+    rejecting new submissions (ServerDraining), save_serving_state()
+    persists the tuned grids, and from_serving_state() builds a
+    replacement server that adopts them and answers identically."""
+    import threading
+
+    from tts_king_tpu.serve import ServerDraining, SynthesisServer
+
+    phon = np.array([70, 80, 90, 100, 80, 70])
+    server = SynthesisServer(king, max_batch=4)
+    try:
+        rng = np.random.RandomState(3)
+        futures = [server.submit(phonemes=rng.randint(64, 200, size=(14,)))
+                   for _ in range(8)]
+        ref_wav = server.submit(phonemes=phon).result(timeout=300)
+        king.tts.phone_buckets = [14, 48]   # pretend autotune was applied
+        stats = {}
+        t = threading.Thread(
+            target=lambda: stats.update(server.drain(timeout=120)))
+        t.start()
+        # Admitted work completes even though the server is draining.
+        for f in futures:
+            assert f.result(timeout=300).dtype == np.int16
+        t.join(timeout=120)
+        assert not t.is_alive()
+        assert stats["completed"] >= 9 and stats["queued"] == 0
+        with pytest.raises(ServerDraining):
+            server.submit(phonemes=phon)
+        path = str(tmp_path / "serving_state.json")
+        saved = server.save_serving_state(path)
+        assert saved["phone_buckets"] == [14, 48]
+        assert saved["suggested"]["n_requests"] >= 9
+    finally:
+        king.tts.phone_buckets = None
+
+    # A fresh process: adopt the drained server's state.
+    state = SynthesisServer.load_serving_state(path)
+    server2 = SynthesisServer.from_serving_state(king, state, prewarm=False,
+                                                 max_batch=4)
+    try:
+        assert king.tts.phone_buckets == [14, 48]
+        wav2 = server2.submit(phonemes=phon).result(timeout=300)
+    finally:
+        server2.close()
+        king.tts.phone_buckets = None
+    # Identical model -> identical audio for the same request, even though
+    # the adopted grid pads the phonemes differently (masking exactness).
+    assert np.array_equal(wav2, ref_wav)

@@ -29,6 +29,8 @@ traced scalars, so they don't force recompiles; mixing controls *within* a
 batch would change per-item outputs, hence the grouping key).
 """
 
+import json
+import os
 import queue
 import threading
 import time
@@ -95,6 +97,11 @@ class DeadlineExceeded(RuntimeError):
     compute was spent on it (HTTP front: 504)."""
 
 
+class ServerDraining(RuntimeError):
+    """The server is draining for shutdown/restart: no new admissions,
+    queued work still completes (HTTP front: 503, no Retry-After)."""
+
+
 @dataclass
 class _Request:
     phonemes: np.ndarray        # (L,) int
@@ -155,6 +162,8 @@ class SynthesisServer:
         self._mid: "queue.Queue" = queue.Queue(maxsize=pipeline_depth)
         self._inflight: "queue.Queue" = queue.Queue(maxsize=pipeline_depth)
         self._stop = threading.Event()
+        self._draining = threading.Event()
+        self._prewarmed: Optional[dict] = None
         self._threads = [
             threading.Thread(target=self._dispatcher, daemon=True),
             threading.Thread(target=self._vocoder_stage, daemon=True),
@@ -175,6 +184,9 @@ class SynthesisServer:
         waiting. deadline_ms (relative to now) bounds queueing: a request
         still undispatched past its deadline fails with DeadlineExceeded.
         """
+        if self._draining.is_set():
+            raise ServerDraining(
+                "server is draining; resubmit to its replacement")
         if self._stop.is_set():
             raise RuntimeError("server is closed")
         if phonemes is None:
@@ -276,8 +288,10 @@ class SynthesisServer:
                 wav = self.king.vocoder(mel[:, :T])
                 np.asarray(wav[:1, :1])              # force the compile
                 warmed_mels.add(T)
-        return {"batch_buckets": bsizes, "phone_buckets": pbs,
-                "mel_buckets": sorted(warmed_mels)}
+        self._prewarmed = {"batch_buckets": bsizes, "phone_buckets": pbs,
+                           "mel_buckets": sorted(warmed_mels),
+                           "max_phonemes": max_phonemes}
+        return dict(self._prewarmed)
 
     def stats(self) -> dict:
         """Admission/shedding counters + current queue depth."""
@@ -314,6 +328,9 @@ class SynthesisServer:
         it is provably exact (utterance covers chunk+halo frames, no mel-
         bucket overflow); otherwise the plain path runs — bit-identical
         output either way."""
+        if self._draining.is_set():
+            raise ServerDraining(
+                "server is draining; resubmit to its replacement")
         if self._stop.is_set():
             raise RuntimeError("server is closed")
         if phonemes is None:
@@ -482,6 +499,77 @@ class SynthesisServer:
         self._stop.set()
         for t in self._threads:
             t.join(timeout=10)
+
+    def drain(self, timeout: Optional[float] = None) -> dict:
+        """Graceful shutdown, phase 1: stop admitting (submit raises
+        ServerDraining -> HTTP 503), let everything already admitted run
+        to completion, then stop the pipeline threads. Returns final
+        stats. With `timeout`, returns once the clock runs out even if
+        work remains queued (callers can check stats()["queued"]).
+
+        The restart half of the story: pair with save_serving_state() /
+        load_serving_state() so the next process starts with this one's
+        tuned padding grids and prewarms exactly the shapes that carried
+        real traffic (main()'s --state-file does both ends)."""
+        self._draining.set()
+        deadline = None if timeout is None else _now() + timeout
+        while deadline is None or _now() < deadline:
+            with self._stats_lock:
+                c = dict(self._counters)
+            settled = c["completed"] + c["failed"] + c["shed"]
+            if (settled >= c["admitted"] and self._queue.empty()
+                    and self._mid.empty() and self._inflight.empty()):
+                break
+            time.sleep(0.02)
+        self.close()
+        return self.stats()
+
+    def save_serving_state(self, path: str) -> dict:
+        """Persist what this process learned about its load so a restart
+        skips the warmup cliff: tuned padding grids (the active ones,
+        plus fresh suggest_buckets() output from the recorded traces) and
+        the prewarm grid. JSON, human-editable."""
+        state = {
+            "batch_buckets": self.batch_buckets,
+            "phone_buckets": getattr(self.king.tts, "phone_buckets", None),
+            "prewarm": self._prewarmed,
+            "suggested": self.suggest_buckets(),
+            "stats": self.stats(),
+        }
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f, indent=1)
+        os.replace(tmp, path)
+        return state
+
+    @staticmethod
+    def load_serving_state(path: str) -> dict:
+        with open(path) as f:
+            return json.load(f)
+
+    @classmethod
+    def from_serving_state(cls, king, state: dict, prewarm: bool = True,
+                           **kw):
+        """Construct a server adopting a previous process's tuned grids
+        (preferring its live grids, falling back to its recorded
+        suggestions), then prewarm the same shape grid that carried the
+        previous process's traffic."""
+        suggested = state.get("suggested") or {}
+        batch_buckets = (state.get("batch_buckets")
+                         or suggested.get("batch_buckets"))
+        phone_buckets = (state.get("phone_buckets")
+                         or suggested.get("phone_buckets"))
+        if phone_buckets:
+            king.tts.phone_buckets = sorted(phone_buckets)
+        if batch_buckets:
+            kw.setdefault("batch_buckets", sorted(batch_buckets))
+        server = cls(king, **kw)
+        pw = state.get("prewarm")
+        if prewarm and pw:
+            server.prewarm(max_phonemes=pw.get("max_phonemes", 64),
+                           batch_sizes=pw.get("batch_buckets"),
+                           mel_buckets=pw.get("mel_buckets"))
+        return server
 
     # --------------------------------------------------------- scheduling
 
@@ -735,7 +823,7 @@ class SynthesisServer:
 
 # --------------------------------------------------------------- HTTP front
 
-def serve_http(king, host="127.0.0.1", port=8765, **server_kw):
+def serve_http(king, host="127.0.0.1", port=8765, state=None, **server_kw):
     """Wrap a SynthesisServer in a stdlib HTTP front end.
 
     Endpoints:
@@ -744,10 +832,15 @@ def serve_http(king, host="127.0.0.1", port=8765, **server_kw):
       POST /tts     -> WAV file; JSON body {"text" | "phonemes": [...],
                        "speaker", "duration_control", "pitch_control",
                        "energy_control", "deadline_ms"}; 429 + Retry-After
-                       when the admission queue is full, 504 when the
-                       deadline passes before dispatch
+                       when the admission queue is full, 503 while
+                       draining, 504 when the deadline passes before
+                       dispatch
       POST /stream  -> chunked raw int16 PCM (audio/L16), same body —
                        first chunk after one FS2 call + one vocoder window
+
+    state: a load_serving_state() dict from a previous process — adopts
+    its tuned padding grids and prewarms its traffic's shape grid
+    (SynthesisServer.from_serving_state).
 
     Returns (httpd, synthesis_server); caller runs httpd.serve_forever()
     and closes both. Port 0 binds an ephemeral port
@@ -759,7 +852,10 @@ def serve_http(king, host="127.0.0.1", port=8765, **server_kw):
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
     from itertools import chain
 
-    server = SynthesisServer(king, **server_kw)
+    if state is not None:
+        server = SynthesisServer.from_serving_state(king, state, **server_kw)
+    else:
+        server = SynthesisServer(king, **server_kw)
     sr = king.cfg.preprocess.audio.sampling_rate
 
     class _StreamAborted(Exception):
@@ -821,6 +917,8 @@ def serve_http(king, host="127.0.0.1", port=8765, **server_kw):
                     try:
                         fut = server.submit(
                             **self._synth_kwargs(body, with_deadline=True))
+                    except ServerDraining as e:
+                        return self._error(503, str(e))
                     except ServerOverloaded as e:
                         return self._error(429, str(e), retry_after=1)
                     try:
@@ -873,6 +971,8 @@ def serve_http(king, host="127.0.0.1", port=8765, **server_kw):
                     self.send_error(404)
             except _StreamAborted:
                 pass
+            except ServerDraining as e:
+                self._error(503, str(e))
             except Exception as e:  # surface errors as 500 JSON
                 msg = _json.dumps({"error": str(e)}).encode()
                 try:
@@ -907,7 +1007,16 @@ def main(argv=None):
                     help="compile the full serving shape grid before "
                          "accepting traffic (avoids mid-traffic XLA "
                          "compile stalls)")
+    ap.add_argument("--state-file", default=None,
+                    help="serving-state JSON: loaded at startup (adopt the "
+                         "previous process's tuned padding grids + prewarm "
+                         "its traffic's shape grid), written at graceful "
+                         "shutdown (SIGTERM/SIGINT -> drain, save, exit)")
+    ap.add_argument("--drain-timeout", type=float, default=30.0,
+                    help="max seconds to wait for queued work at shutdown")
     args = ap.parse_args(argv)
+
+    import signal
 
     import jax.numpy as jnp
 
@@ -916,15 +1025,29 @@ def main(argv=None):
 
     cfg = load_config(args.config) if args.config else TTSConfig()
     king = TTSKing(cfg, dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    server_kw = dict(max_batch=args.max_batch,
+                     admission_depth=args.admission_depth,
+                     default_deadline_ms=args.default_deadline_ms)
+    prior = None
+    if args.state_file and os.path.exists(args.state_file):
+        prior = SynthesisServer.load_serving_state(args.state_file)
+        print(f"adopting serving state from {args.state_file}: "
+              f"batch_buckets={prior.get('batch_buckets')} "
+              f"phone_buckets={prior.get('phone_buckets')}", flush=True)
     httpd, server = serve_http(king, host=args.host, port=args.port,
-                               max_batch=args.max_batch,
-                               admission_depth=args.admission_depth,
-                               default_deadline_ms=args.default_deadline_ms)
-    if args.prewarm:
+                               state=prior, **server_kw)
+    if args.prewarm and not (prior and prior.get("prewarm")):
         print("prewarming serving shape grid "
               f"(max_phonemes={args.prewarm})...", flush=True)
         print(f"prewarmed: {server.prewarm(max_phonemes=args.prewarm)}",
               flush=True)
+
+    def _graceful(signum, frame):
+        # Stop accepting HTTP, drain admitted work, persist tuned state.
+        # shutdown() must come from another thread (serve_forever's loop).
+        threading.Thread(target=httpd.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _graceful)
     print(f"serving on http://{args.host}:{httpd.server_address[1]} "
           f"(/tts /stream /health)", flush=True)
     try:
@@ -933,7 +1056,11 @@ def main(argv=None):
         pass
     finally:
         httpd.shutdown()
-        server.close()
+        stats = server.drain(timeout=args.drain_timeout)
+        if args.state_file:
+            server.save_serving_state(args.state_file)
+            print(f"serving state saved to {args.state_file}", flush=True)
+        print(f"drained: {stats}", flush=True)
 
 
 if __name__ == "__main__":
