@@ -62,3 +62,29 @@ def test_multihost_train_driver_end_to_end():
     assert report["mesh"] == "dp4xtp2"
     assert report["resumed_from"] == 4
     assert report["matches_single_process"] is True
+
+
+def test_multihost_vocoder_gan_driver_end_to_end():
+    """The real train_vocoder() GAN driver across 2 processes: per-process
+    MelDataset sharding (per-item crop RNG -> bit-identical global
+    batches), replicated GAN state created ON the global mesh, distributed
+    orbax checkpointing of the full GAN state + folded inference params,
+    mid-run RESUME, and a final generator that matches the identical
+    single-process run within collective-order tolerance
+    (scripts/multihost_vocoder_smoke.py)."""
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("JAX_", "XLA_", "PALLAS_AXON", "AXON_",
+                                "TPU_"))}
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO_ROOT, "scripts",
+                                      "multihost_vocoder_smoke.py"),
+         "--steps", "8", "--root", "/tmp/mh_voc_pytest"],
+        env=env, cwd=REPO_ROOT, capture_output=True, text=True, timeout=3000)
+    assert proc.returncode == 0, proc.stderr[-3000:] + proc.stdout[-2000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["ok"] is True
+    assert report["processes"] == 2
+    assert report["mesh"] == "dp4"
+    assert report["resumed_from"] == 4
+    assert report["matches_single_process"] is True

@@ -103,29 +103,47 @@ class MelDataset:
             wav = wav[: cfg.segment_size]
         return wav.astype(np.float32), mel.astype(np.float32)
 
-    def batches(self, batch_size: int, seed: int = 0):
+    def batches(self, batch_size: int, seed: int = 0, shard=None):
         """Yield dict batches of aligned (mel, wav, mel_loss) segments.
 
         Split mode computes the mels for the WHOLE batch in one (two, with
         a distinct fmax_loss) hifigan_mel call on equal-length segments —
         per-item spectrogram calls cost a device round trip each and were
-        the input-pipeline bottleneck for GAN training."""
+        the input-pipeline bottleneck for GAN training.
+
+        shard=(rank, nproc): multi-host mode — this process loads ONLY its
+        contiguous row block of every batch (rows rank*B/n..(rank+1)*B/n),
+        ready for parallel.mesh.globalize_batch. Segment crops use a
+        per-item RNG keyed on (seed, global epoch position), so the
+        assembled global batch is bit-identical to an unsharded run — the
+        same determinism contract FS2Dataset's per-item masking keeps."""
         cfg = self.cfg
-        rng = random.Random(seed)
+        rank, nproc = shard if shard is not None else (0, 1)
+        if batch_size % nproc:
+            raise ValueError(f"batch_size={batch_size} not divisible by "
+                             f"process count {nproc}")
+        rows = slice((rank * batch_size) // nproc,
+                     ((rank + 1) * batch_size) // nproc)
         order = list(range(len(self.paths)))
-        rng.shuffle(order)
+        random.Random(seed).shuffle(order)
         for start in range(0, len(order) - batch_size + 1, batch_size):
-            idxs = order[start : start + batch_size]
+            idxs = order[start : start + batch_size][rows]
+            # crop randomness is a pure function of (seed, epoch position):
+            # identical across sharded and unsharded runs. Integer seeds
+            # only — tuple/str seeding would ride hash(), and str hashes
+            # are randomized per process.
+            rngs = [random.Random(seed * 1_000_003 + start + j)
+                    for j in range(batch_size)][rows]
             if not self.split:
                 # variable lengths: per-item path (batch_size 1 use only)
-                items = [self.load_item(i, rng) for i in idxs]
+                items = [self.load_item(i, r) for i, r in zip(idxs, rngs)]
                 yield {
                     "mel": np.stack([m for m, _, _ in items]),
                     "wav": np.stack([w for _, w, _ in items]),
                     "mel_loss": np.stack([l for _, _, l in items]),
                 }
                 continue
-            loaded = [self._load_segment(i, rng) for i in idxs]
+            loaded = [self._load_segment(i, r) for i, r in zip(idxs, rngs)]
             wav_b = np.stack([w for w, _ in loaded])
             mel_loss_b = np.asarray(hifigan_mel(
                 wav_b, cfg.n_fft, cfg.num_mels, cfg.sampling_rate,

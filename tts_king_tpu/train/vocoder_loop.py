@@ -8,6 +8,14 @@ Data parallel: with use_mesh=True (default) and >1 device, the GAN state is
 replicated over a 1-D dp mesh and every batch is sharded on its batch axis —
 XLA inserts the gradient psums. The heaviest training workload in this stack
 (HiFi-GAN at 22 kHz) scales over ICI like the FS2 step does.
+
+Multi-host: distributed=True (after jax.distributed.initialize, see
+scripts/train_vocoder.py --distributed) builds the mesh over ALL processes'
+devices, each process loads only its row block of every batch
+(MelDataset.batches(shard=...), bit-identical global batches via per-item
+crop RNG), state is created/restored ON the global mesh, and first
+dispatches run in lockstep (parallel/lockstep.py) — the same driver
+contract as the FS2 loop (train/loop.py).
 """
 
 import os
@@ -33,11 +41,17 @@ def train_vocoder(cfg: TTSConfig, wav_paths: List[str],
                   fine_tuning: bool = False, base_mels_path=None,
                   restore_step: Optional[int] = None,
                   disc_p_channels=None, msd_width: int = 1,
-                  use_mesh: bool = True):
+                  use_mesh: bool = True, distributed: bool = False):
     """Returns the final VocoderTrainState."""
+    from tts_king_tpu.parallel.lockstep import (coordination_barrier,
+                                                maybe_lockstep)
+
     vc = cfg.vocoder
     ckpt_dir = ckpt_dir or os.path.join(cfg.train.ckpt_path, "vocoder")
     os.makedirs(ckpt_dir, exist_ok=True)
+    if distributed:
+        # absorb per-process startup skew before any collective exists
+        coordination_barrier("ttk_vocoder_startup")
 
     dataset = MelDataset(wav_paths, vc, split=True, fine_tuning=fine_tuning,
                          base_mels_path=base_mels_path, seed=vc.seed)
@@ -45,11 +59,10 @@ def train_vocoder(cfg: TTSConfig, wav_paths: List[str],
     trainer = VocoderTrainer(vc, disc_p_channels=disc_p_channels,
                              msd_width=msd_width,
                              steps_per_epoch=steps_per_epoch)
-    state = trainer.init_state(jax.random.PRNGKey(vc.seed),
-                               vc.segment_size // vc.hop_size)
 
     mesh = None
-    if use_mesh and len(jax.devices()) > 1:
+    shard = None
+    if distributed or (use_mesh and len(jax.devices()) > 1):
         from tts_king_tpu.parallel.mesh import build_mesh, replicated
 
         mesh = build_mesh(dp=-1, tp=1)
@@ -60,31 +73,67 @@ def train_vocoder(cfg: TTSConfig, wav_paths: List[str],
                 f"vocoder batch_size={vc.batch_size} does not shard evenly "
                 f"over dp={mesh.shape['dp']}; pick a divisible batch size "
                 f"or pass use_mesh=False.")
-        state = jax.device_put(state, replicated(mesh))
+        if distributed:
+            shard = (jax.process_index(), jax.process_count())
+        # Create the replicated state ON the (possibly multi-host) mesh:
+        # init inside jit with replicated out_shardings — device_put of
+        # host arrays can't build cross-process global arrays.
+        state = maybe_lockstep(
+            jax.jit(lambda: trainer.init_state(
+                jax.random.PRNGKey(vc.seed), vc.segment_size // vc.hop_size),
+                out_shardings=replicated(mesh)),
+            "voc_init")()
+    else:
+        state = trainer.init_state(jax.random.PRNGKey(vc.seed),
+                                   vc.segment_size // vc.hop_size)
 
     if restore_step is not None:
         from flax.serialization import from_state_dict
 
         payload = restore_train_state(ckpt_dir, restore_step)
-        restored = from_state_dict(state, payload["extra"]["gan_state"])
-        state = restored
+        restored = from_state_dict(jax.device_get(state)
+                                   if mesh is None else state,
+                                   payload["extra"]["gan_state"])
         if mesh is not None:
-            from tts_king_tpu.parallel.mesh import replicated
+            # host arrays -> global replicated arrays on the mesh (each
+            # process contributes the shards its devices own)
+            from tts_king_tpu.parallel.mesh import globalize_like
 
-            state = jax.device_put(state, replicated(mesh))
+            state = globalize_like(state, restored)
+        else:
+            state = jax.tree.map(np.asarray, restored)
 
-    step_fn = jax.jit(trainer.make_train_step())
-    logger = MetricsLogger(cfg.train.result_path, cfg.exp_name + "_vocoder",
-                           cfg.logger.wandb_key, cfg.logger.offline)
+    step_fn = maybe_lockstep(jax.jit(trainer.make_train_step()),
+                             "voc_train_step")
+    if jax.process_index() == 0:
+        logger = MetricsLogger(cfg.train.result_path,
+                               cfg.exp_name + "_vocoder",
+                               cfg.logger.wandb_key, cfg.logger.offline)
+    else:
+        logger = _NullVocLogger()
+
+    if mesh is not None:
+        from tts_king_tpu.parallel.mesh import replicated as _replicated
+
+        # The weight-norm fold must produce GLOBAL replicated arrays on the
+        # mesh: eager jnp ops on global arrays yield host-local
+        # SingleDeviceSharding results, which orbax refuses to serialize in
+        # a multi-process run.
+        export_fold = jax.jit(trainer.export_inference_params,
+                              out_shardings=_replicated(mesh))
+    else:
+        export_fold = trainer.export_inference_params
 
     def save(step):
         from flax.serialization import to_state_dict
 
+        # device arrays go straight to orbax: multi-host-safe sharded
+        # saves, no device_get of (potentially) non-addressable shards
         save_train_state(
             ckpt_dir, step,
-            {"params": trainer.export_inference_params(state.gen_params)},
+            {"params": export_fold(state.gen_params)},
             opt_state=None,
-            extra={"gan_state": to_state_dict(jax.device_get(state))})
+            extra={"gan_state": to_state_dict(state)})
 
     total = max_steps if max_steps is not None else 10 ** 9
     step = int(state.step)
@@ -92,7 +141,8 @@ def train_vocoder(cfg: TTSConfig, wav_paths: List[str],
     try:
         while step < total:
             epoch += 1
-            for batch in dataset.batches(vc.batch_size, seed=vc.seed + epoch):
+            for batch in dataset.batches(vc.batch_size, seed=vc.seed + epoch,
+                                         shard=shard):
                 if mesh is not None:
                     from tts_king_tpu.parallel.mesh import globalize_batch
 
@@ -100,17 +150,31 @@ def train_vocoder(cfg: TTSConfig, wav_paths: List[str],
                 state, losses = step_fn(state, batch)
                 step += 1
                 if step % log_every == 0:
-                    logger.log(step, {n: float(v) for n, v in
-                                      zip(VOC_LOSS_NAMES, tuple(losses))},
-                               prefix="vocoder")
+                    # fetch on EVERY process (symmetric forcing of the
+                    # async queue; train/loop.py has the full rationale),
+                    # write on process 0
+                    host = {n: float(v) for n, v in
+                            zip(VOC_LOSS_NAMES, jax.device_get(tuple(losses)))}
+                    logger.log(step, host, prefix="vocoder")
                 if step % save_every == 0:
                     save(step)
                 if step >= total:
                     break
     except (KeyboardInterrupt, Exception):
-        save(step)
+        # single-process only: a distributed orbax save is itself a
+        # collective and exceptions are not guaranteed symmetric
+        if jax.process_count() == 1:
+            save(step)
         logger.close()
         raise
     save(step)
     logger.close()
     return state
+
+
+class _NullVocLogger:
+    def log(self, *a, **k):
+        pass
+
+    def close(self):
+        pass
