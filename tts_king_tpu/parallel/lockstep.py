@@ -63,9 +63,24 @@ def coordination_barrier(name: str, timeout_ms: int = 900_000) -> None:
 
 
 def _shape_key(args) -> Tuple:
-    return tuple(
-        (leaf.shape, str(leaf.dtype)) if hasattr(leaf, "shape") else repr(leaf)
-        for leaf in jax.tree.leaves(args))
+    """Aval signature of an argument pytree. Python scalars key by their
+    jit aval (shape () + weak dtype), NOT by value — a value-keyed entry
+    would re-compile-and-barrier on every distinct scalar, turning the
+    steady state back into first-dispatch."""
+    import numpy as np
+
+    def leaf_key(leaf):
+        if hasattr(leaf, "shape") and hasattr(leaf, "dtype"):
+            return (tuple(leaf.shape), str(leaf.dtype))
+        if isinstance(leaf, (bool, int, float, complex)):
+            return ((), type(leaf).__name__)
+        try:
+            a = np.asarray(leaf)
+            return (tuple(a.shape), str(a.dtype))
+        except Exception:
+            return repr(leaf)
+
+    return tuple(leaf_key(leaf) for leaf in jax.tree.leaves(args))
 
 
 class LockstepFn:
