@@ -73,9 +73,10 @@ def main():
             voc = Vocoder(cfg)
             sr = cfg.preprocess.audio.sampling_rate
             hop = cfg.preprocess.stft.hop_length
+            # float path directly (Vocoder.__call__ returns [-1, 1]);
+            # generate() would round-trip through int16 for nothing
             vocode_fn = lambda mel: np.asarray(
-                voc.generate(mel[None].astype(np.float32)), np.float32
-            )[0] / cfg.vocoder.max_wav_value
+                voc(mel[None].astype(np.float32)), np.float32)[0]
             f0_fn = lambda wav: np.asarray(yin_f0(wav[None], sr, hop))[0]
         variables = {"params": payload["params"],
                      "batch_stats": payload["batch_stats"]}

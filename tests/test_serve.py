@@ -584,3 +584,118 @@ def test_drain_and_serving_state_roundtrip(king, tmp_path):
     # Identical model -> identical audio for the same request, even though
     # the adopted grid pads the phonemes differently (masking exactness).
     assert np.array_equal(wav2, ref_wav)
+
+
+def test_tuned_grid_pads_up_beyond_top(king):
+    """A request LONGER than the tuned grid's top pads UP via the pow2
+    fallback instead of clamping to the grid top (clamping made
+    texts[:, :L] = phonemes a broadcast ValueError, i.e. HTTP 500 for
+    every long request after a --state-file restart)."""
+    from tts_king_tpu.serve import SynthesisServer
+
+    king.tts.phone_buckets = [8, 12]
+    try:
+        # direct pipeline path: 20 phonemes > grid top 12 -> pow2 32
+        out = king.tts.generate(np.full((1, 20), 70, np.int32),
+                                speaker_name=0, defer_overflow=True)
+        assert out["duration_rounded"].shape[1] == 32
+        # batched pipeline + streaming fused-head paths
+        server = SynthesisServer(king, max_batch=2)
+        try:
+            phon = np.arange(64, 84, dtype=np.int32)
+            wav = server.submit(phonemes=phon).result(timeout=300)
+            assert wav.dtype == np.int16 and wav.size
+            chunks = list(server.stream(phonemes=phon))
+            assert sum(c.size for c in chunks) > 0
+        finally:
+            server.close()
+    finally:
+        king.tts.phone_buckets = None
+
+
+def test_failed_batches_settle_stats_and_drain(king, monkeypatch):
+    """Batches that fail in the dispatcher or the vocoder stage still
+    count as 'failed', so drain()'s settled>=admitted wait terminates
+    instead of burning its whole timeout after any failure."""
+    import time as _time
+
+    from tts_king_tpu.serve import SynthesisServer
+
+    def boom(*a, **k):
+        raise RuntimeError("boom")
+
+    # dispatcher (_fs2_batch) failure path
+    server = SynthesisServer(king, max_batch=2, max_wait_ms=5)
+    try:
+        monkeypatch.setattr(server, "_fs2_batch", boom)
+        f = server.submit(phonemes=np.array([70, 80, 90]))
+        with pytest.raises(RuntimeError):
+            f.result(timeout=60)
+        t0 = _time.monotonic()
+        stats = server.drain(timeout=30)
+        assert _time.monotonic() - t0 < 15, "drain burned its timeout"
+        assert stats["failed"] == 1
+    finally:
+        server.close()
+
+    # vocoder-stage (_vocode_batch) failure path
+    server = SynthesisServer(king, max_batch=2, max_wait_ms=5)
+    try:
+        monkeypatch.setattr(server, "_vocode_batch", boom)
+        f = server.submit(phonemes=np.array([70, 80, 90]))
+        with pytest.raises(RuntimeError):
+            f.result(timeout=60)
+        t0 = _time.monotonic()
+        stats = server.drain(timeout=30)
+        assert _time.monotonic() - t0 < 15
+        assert stats["failed"] == 1
+    finally:
+        server.close()
+
+
+def test_prewarm_covers_raw_length_mel_buckets(king):
+    """The mel bucket is derived from the RAW request length, so with a
+    tuned phone grid a short-but-padded-up request dispatches a LOWER mel
+    bucket than the grid top implies; prewarm must have compiled it
+    (the gap caused 20-40s mid-traffic compile stalls)."""
+    from tts_king_tpu.serve import SynthesisServer
+
+    king.tts.phone_buckets = [17, 46]
+    server = SynthesisServer(king, max_batch=1)
+    try:
+        server.prewarm(max_phonemes=46)
+        fn = king.tts._apply["fn"]
+        n_before = fn._cache_size()
+        # 20 phonemes -> Lb=46 but T=bucket(20*8)=256, not bucket(46*8)
+        out = king.tts.generate(np.full((1, 20), 70, np.int32),
+                                speaker_name=0, defer_overflow=True)
+        assert out["mel_bucket"] == 256
+        assert fn._cache_size() == n_before, \
+            "live request compiled a shape prewarm missed"
+    finally:
+        server.close()
+        king.tts.phone_buckets = None
+
+
+def test_suggest_buckets_ratio_vs_active_grid(king):
+    """phone_padded_ratio_vs_current compares against the grid that is
+    actually active on the pipeline (the tuned one after a restart), not
+    the pow2 default nobody is using."""
+    from tts_king_tpu.serve import SynthesisServer
+
+    king.tts.phone_buckets = [18, 64]
+    server = SynthesisServer(king, max_batch=2)
+    try:
+        futures = [server.submit(phonemes=np.full((18,), 70, np.int32))
+                   for _ in range(4)]
+        for f in futures:
+            f.result(timeout=300)
+        sug = server.suggest_buckets(k_len=2)
+    finally:
+        server.close()
+        king.tts.phone_buckets = None
+    # all traffic is length 18 and the active grid already has top 18:
+    # the suggestion can't improve on it -> ratio exactly 1.0 (vs the
+    # pow2 baseline it would be 18/32)
+    assert sug["phone_buckets"][-1] == 18
+    assert sug["phone_padded_ratio_vs_current"] == 1.0

@@ -43,6 +43,16 @@ def _phone_bucket(n):
     return min(b, 1024)
 
 
+def _phone_pad(n, buckets=None):
+    """Phoneme padding length: the tuned grid when it covers n, else the
+    power-of-2 default. A tuned grid only reflects lengths seen in past
+    load — a longer request must still pad UP (clamping to the grid top
+    would make the (B, Lb) buffer too small to hold the batch)."""
+    if buckets and n <= buckets[-1]:
+        return _bucket(n, buckets)
+    return _phone_bucket(n)
+
+
 def load_speakers(path):
     """speakers.json: {name: id} (fsapi.py:85-96)."""
     with open(path) as f:
@@ -144,9 +154,9 @@ class AcousticModel:
         phonemes = np.asarray(phonemes)
         B, L = phonemes.shape
         # phone_buckets: opt-in load-tuned padding grid (serve.py
-        # suggest_buckets); default power-of-2 buckets otherwise.
-        Lb = (_bucket(L, self.phone_buckets) if self.phone_buckets
-              else _phone_bucket(L))
+        # suggest_buckets); default power-of-2 buckets otherwise, and for
+        # requests longer than the tuned grid covers.
+        Lb = _phone_pad(L, self.phone_buckets)
         texts = np.zeros((B, Lb), np.int32)
         texts[:, :L] = phonemes
         src_lens = (np.asarray(src_lens, np.int32) if src_lens is not None
@@ -156,7 +166,11 @@ class AcousticModel:
 
         max_cap = self.config.model.max_seq_len
         if max_mel_len is not None:
-            buckets = [min(max_mel_len, max_cap)]
+            # exact bucket pin (serve.prewarm relies on this dispatching
+            # the same executable the bucket-chosen path would); like the
+            # auto buckets below, NOT clamped to max_seq_len — positional
+            # sinusoids regenerate past it (models/layers.py)
+            buckets = [max_mel_len]
         else:
             guess = int(L * _FRAMES_PER_PHONE_GUESS * duration_control)
             start = _bucket(guess, MEL_BUCKETS)

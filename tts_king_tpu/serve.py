@@ -224,14 +224,16 @@ class SynthesisServer:
         constructing the next server with batch_buckets=... and setting
         king.tts.phone_buckets (each new bucket is one XLA compile, so
         this is an explicit operation, not continuous adaptation)."""
-        from tts_king_tpu.pipeline import _bucket, _phone_bucket
+        from tts_king_tpu.pipeline import _bucket
 
         lens = list(self._trace_lens)
         batches = list(self._trace_batches)
         out = {"n_requests": len(lens), "n_dispatches": len(batches)}
         if lens:
             tops = optimal_buckets(lens, k_len)
-            cur = sum(_phone_bucket(l) for l in lens)
+            # "current" = what this server actually pads to (the tuned
+            # grid when one is active, pow2 default else) — _pbucket
+            cur = sum(self._pbucket(l) for l in lens)
             new = sum(_bucket(l, tops) for l in lens)
             out["phone_buckets"] = tops
             out["phone_padded_ratio_vs_current"] = round(new / max(cur, 1), 4)
@@ -247,7 +249,7 @@ class SynthesisServer:
         return out
 
     def prewarm(self, max_phonemes: int = 64, batch_sizes=None,
-                mel_buckets=None) -> dict:
+                mel_buckets=None, duration_controls=(1.0,)) -> dict:
         """Compile every (batch-bucket, phoneme-bucket) FS2 executable and
         (batch-bucket, mel-bucket) vocoder executable this server can
         dispatch, BEFORE taking traffic.
@@ -265,8 +267,17 @@ class SynthesisServer:
         The vocoder is warmed on the REAL FS2 output sliced to each mel
         bucket — the exact dtype/layout the vocoder stage dispatches
         (`_vocode_batch` tight slicing) — not on synthetic zeros.
-        Returns the warmed shape grids."""
-        from tts_king_tpu.pipeline import MEL_BUCKETS
+
+        duration_controls: the d-control values to cover. generate()
+        derives the mel bucket from the RAW (pre-padding) request length
+        times d_control — NOT from the padded length — so for each phone
+        bucket the whole span T(shortest raw length mapping to it) ..
+        T(bucket top) is warmed, plus one bucket above it (the only
+        overflow-escalation step seen in practice), so neither a
+        short-but-padded-up request nor a rare deferred-overflow redo
+        compiles mid-traffic. Returns the warmed shape grids."""
+        from tts_king_tpu.pipeline import (MEL_BUCKETS, _bucket,
+                                           _FRAMES_PER_PHONE_GUESS)
 
         bsizes = sorted(set(batch_sizes or self.batch_buckets))
         pbs = sorted({self._pbucket(n)
@@ -274,14 +285,28 @@ class SynthesisServer:
         warmed_mels = set()
         for B in bsizes:
             mel = None
+            prev_pb = 0
             for Lb in pbs:
-                out = self.king.tts.generate(
-                    np.ones((B, Lb), np.int32),
-                    src_lens=np.full((B,), Lb, np.int32),
-                    speaker_name=[0] * B, defer_overflow=True)
-                np.asarray(out["mel_lens_raw"])      # force the compile
-                if mel is None or out["postnet_mel"].shape[1] > mel.shape[1]:
-                    mel = out["postnet_mel"]
+                # Shortest raw length padded to Lb is prev_pb+1; its mel
+                # bucket is the lowest this (B, Lb) pair can dispatch.
+                lens = [prev_pb + 1, Lb]
+                ts = [_bucket(int(n * _FRAMES_PER_PHONE_GUESS * d),
+                              MEL_BUCKETS)
+                      for d in duration_controls for n in lens]
+                t_lo, t_hi = min(ts), max(ts)
+                span = [b for b in MEL_BUCKETS if t_lo <= b]
+                span = span[: len([b for b in span if b <= t_hi]) + 1]
+                prev_pb = Lb
+                for T in span:
+                    out = self.king.tts.generate(
+                        np.ones((B, Lb), np.int32),
+                        src_lens=np.full((B,), Lb, np.int32),
+                        speaker_name=[0] * B, defer_overflow=True,
+                        max_mel_len=T)
+                    np.asarray(out["mel_lens_raw"])  # force the compile
+                    if (mel is None
+                            or out["postnet_mel"].shape[1] > mel.shape[1]):
+                        mel = out["postnet_mel"]
             mbs = [b for b in (mel_buckets or MEL_BUCKETS)
                    if b <= mel.shape[1]] or [mel.shape[1]]
             for T in mbs:
@@ -430,7 +455,7 @@ class SynthesisServer:
 
         from tts_king_tpu.pipeline import (MEL_BUCKETS, _bucket,
                                            _FRAMES_PER_PHONE_GUESS,
-                                           _phone_bucket)
+                                           _phone_pad)
 
         tts = self.king.tts
         if getattr(tts, "mesh", None) is not None:
@@ -438,7 +463,7 @@ class SynthesisServer:
         phonemes = np.asarray(phonemes, np.int32)
         L = len(phonemes)
         pb = getattr(tts, "phone_buckets", None)
-        Lb = _bucket(L, pb) if pb else _phone_bucket(L)
+        Lb = _phone_pad(L, pb)
         d_ctl = controls[0]
         guess = int(L * _FRAMES_PER_PHONE_GUESS * d_ctl)
         max_cap = self.king.cfg.model.max_seq_len
@@ -659,10 +684,10 @@ class SynthesisServer:
     def _pbucket(self, n: int) -> int:
         """Phoneme-length padding bucket — the tuned grid when one is set
         on the pipeline (suggest_buckets), the power-of-2 default else."""
-        from tts_king_tpu.pipeline import _bucket, _phone_bucket
+        from tts_king_tpu.pipeline import _phone_pad
 
         pb = getattr(self.king.tts, "phone_buckets", None)
-        return _bucket(n, pb) if pb else _phone_bucket(n)
+        return _phone_pad(n, pb)
 
     def _shed_expired(self, batch):
         """Drop requests whose deadline passed while queued — before any
@@ -696,9 +721,15 @@ class SynthesisServer:
                 try:
                     handles = self._fs2_batch(reqs, controls)
                 except Exception as e:
+                    n_failed = 0
                     for req in reqs:
                         if not req.future.done():
                             req.future.set_exception(e)
+                            n_failed += 1
+                    # counted here too (not just _completer) so stats are
+                    # accurate and drain()'s settled>=admitted wait ends
+                    with self._stats_lock:
+                        self._counters["failed"] += n_failed
                     continue
                 # Bounded: blocks when `pipeline_depth` FS2 batches are in
                 # flight, providing backpressure to _gather_batch.
@@ -734,9 +765,13 @@ class SynthesisServer:
             try:
                 self._inflight.put((reqs, self._vocode_batch(reqs, handles)))
             except Exception as e:
+                n_failed = 0
                 for req in reqs:
                     if not req.future.done():
                         req.future.set_exception(e)
+                        n_failed += 1
+                with self._stats_lock:
+                    self._counters["failed"] += n_failed
 
     def _completer(self):
         while not (self._stop.is_set() and self._mid.empty()
