@@ -62,8 +62,11 @@ def make_base_mels(cfg, ckpt_step=None, out=None, batch_size=16):
                  "batch_stats": payload["batch_stats"]}
     print(f"restored FS2 step {payload['step']}", flush=True)
 
+    # variables as an ARGUMENT, not a closure: each (L, T) shape bucket
+    # recompiles, and a closed-over tree would be constant-folded into
+    # every one of those programs (compile time + device memory)
     @jax.jit
-    def forward(batch):
+    def forward(variables, batch):
         return model.apply(
             variables, batch["speakers"], batch["texts"], batch["src_lens"],
             max_mel_len=batch["mels"].shape[1],
@@ -94,7 +97,7 @@ def make_base_mels(cfg, ckpt_step=None, out=None, batch_size=16):
             T = _quantize(max(it["mel"].shape[0] for it in items), T_STEP,
                           cfg.model.max_seq_len)
             batch = ds._collate(items, L, T)
-            mels = np.asarray(forward(batch), np.float32)
+            mels = np.asarray(forward(variables, batch), np.float32)
             for i, (name, spk, _sid, _seq) in enumerate(entries):
                 n = int(batch["mel_lens"][i])
                 base = f"{spk}-{name}"

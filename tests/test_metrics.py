@@ -115,3 +115,26 @@ def test_evaluate_objective_end_to_end(corpus):  # noqa: F811
     assert "f0_rmse_hz" in out2 and "vuv_f1" in out2
     assert np.isfinite(out2["f0_rmse_hz"])
     assert 0.0 <= out2["vuv_f1"] <= 1.0
+
+
+def test_dtw_path_matches_reference_dp():
+    """The anti-diagonal vectorized DTW is exact: the returned path's
+    total cost equals the textbook O(T1*T2) DP optimum, endpoints and
+    step monotonicity hold."""
+    from tts_king_tpu.train.metrics import dtw_path
+
+    rng = np.random.RandomState(0)
+    for t1, t2 in [(1, 1), (1, 7), (5, 3), (17, 29), (40, 40)]:
+        cost = rng.rand(t1, t2)
+        acc = np.full((t1 + 1, t2 + 1), np.inf)
+        acc[0, 0] = 0.0
+        for i in range(1, t1 + 1):
+            for j in range(1, t2 + 1):
+                acc[i, j] = cost[i - 1, j - 1] + min(
+                    acc[i - 1, j], acc[i, j - 1], acc[i - 1, j - 1])
+        path = dtw_path(cost)
+        assert path[0] == (0, 0) and path[-1] == (t1 - 1, t2 - 1)
+        for (a, b), (c, d) in zip(path, path[1:]):
+            assert (c - a, d - b) in ((0, 1), (1, 0), (1, 1))
+        total = sum(cost[i, j] for i, j in path)
+        np.testing.assert_allclose(total, acc[t1, t2], rtol=1e-12)

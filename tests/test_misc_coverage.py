@@ -96,3 +96,42 @@ def test_mel_dataset_fine_tuning(tmp_path):
     frames = cfg.segment_size // cfg.hop_size
     assert batch["mel"].shape == (2, frames, cfg.num_mels)
     assert batch["wav"].shape == (2, cfg.segment_size)
+
+
+def test_mel_dataset_load_item_short_wav_alignment(tmp_path):
+    """Fine-tuning per-item path: a wav SHORTER than mel_frames*hop (e.g.
+    trailing partial frame trimmed upstream) still yields an aligned
+    (frames_per_seg mel, segment_size wav, frames_per_seg mel_loss) —
+    load_item shares _load_segment's pad/clamp instead of a drifted copy."""
+    import random
+
+    from scipy.io import wavfile
+
+    from tests.test_vocoder_training import _tiny_cfg
+    from tts_king_tpu.data.mel_dataset import MelDataset
+    from tts_king_tpu.ops.stft import hifigan_mel
+
+    cfg = _tiny_cfg()
+    mels_dir = tmp_path / "mels"
+    mels_dir.mkdir()
+    n = cfg.segment_size * 2
+    wav = 0.4 * np.sin(2 * np.pi * 200 * np.arange(n) / cfg.sampling_rate)
+    mel = np.asarray(hifigan_mel(
+        wav[None].astype(np.float32), cfg.n_fft, cfg.num_mels,
+        cfg.sampling_rate, cfg.hop_size, cfg.win_size,
+        cfg.mel_fmin, cfg.mel_fmax))[0]
+    np.save(mels_dir / "w0.npy", mel)
+    # truncate the wav so len(wav) < mel_frames*hop: any crop near the end
+    # comes back short without the pad/clamp
+    p = tmp_path / "w0.wav"
+    wavfile.write(str(p), cfg.sampling_rate,
+                  (wav[: n - cfg.hop_size * 2 - 7] * 30000).astype(np.int16))
+
+    ds = MelDataset([str(p)], cfg, split=True, fine_tuning=True,
+                    base_mels_path=str(mels_dir))
+    frames = cfg.segment_size // cfg.hop_size
+    for seed in range(8):   # several crops incl. end-of-file ones
+        m, w, ml = ds.load_item(0, random.Random(seed))
+        assert m.shape == (frames, cfg.num_mels)
+        assert w.shape == (cfg.segment_size,)
+        assert ml.shape == (frames, cfg.num_mels)

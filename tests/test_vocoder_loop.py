@@ -36,7 +36,13 @@ def test_vocoder_loop_and_checkpoint(tmp_path):
     with pytest.raises(ValueError, match="does not shard evenly"):
         train_vocoder(cfg, wavs, max_steps=2,
                       disc_p_channels=(4, 8, 8, 8, 8), msd_width=32)
-    state = train_vocoder(cfg, wavs, max_steps=2, log_every=1, save_every=2,
+    # fewer training wavs than a batch: fail loudly, don't busy-spin on an
+    # empty epoch forever
+    with pytest.raises(ValueError, match="training wavs"):
+        train_vocoder(cfg, wavs[:1], max_steps=2, use_mesh=False,
+                      disc_p_channels=(4, 8, 8, 8, 8), msd_width=32)
+    state = train_vocoder(cfg, wavs[1:], val_paths=wavs[:1],
+                          max_steps=2, log_every=1, save_every=2,
                           disc_p_channels=(4, 8, 8, 8, 8), msd_width=32,
                           use_mesh=False)
     assert int(state.step) == 2
@@ -52,4 +58,9 @@ def test_vocoder_loop_and_checkpoint(tmp_path):
     # metrics logged
     metrics = os.path.join(cfg.train.result_path, "multi_vocoder.metrics.jsonl")
     assert os.path.exists(metrics)
-    assert '"phase": "vocoder"' in open(metrics).read()
+    content = open(metrics).read()
+    assert '"phase": "vocoder"' in content
+    # validation mel-L1 runs at save cadence on the val split (cycled up
+    # to one full batch when smaller than batch_size)
+    assert '"phase": "vocoder_val"' in content
+    assert '"val_mel_l1"' in content

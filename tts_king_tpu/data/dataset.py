@@ -161,6 +161,9 @@ class FS2Dataset:
 
     def load_item(self, idx: int, rng: Optional[np.random.RandomState] = None
                   ) -> Dict[str, np.ndarray]:
+        """One item with (optional) phoneme masking applied — the same
+        feature loading as the batched path (_item_from_entry), so the
+        two can never drift."""
         name, speaker, text, raw = self.meta[idx]
         phones = text.strip("{}").split(" ")
         if self.apply_masking and rng is not None:
@@ -168,20 +171,8 @@ class FS2Dataset:
         seq = np.asarray(
             text_to_sequence("{" + " ".join(phones) + "}", self.cleaners),
             np.int32)
-        item = {
-            "id": name,
-            "speaker": np.int32(self.speaker_map[speaker]),
-            "text": seq,
-            "mel": self._npy("mel", speaker, name).astype(np.float32),
-            "energy": self._npy("energy", speaker, name).astype(np.float32),
-            "duration": self._npy("duration", speaker, name).astype(np.int32),
-            "pitch_raw": self._npy("pitch", speaker, name).astype(np.float32),
-            "pitch_cwt": np.nan_to_num(
-                self._npy("cwt-pitch", speaker, name).astype(np.float32)),
-            "pitch_mean": self._npy("pitch-mean", speaker, name).astype(np.float32),
-            "pitch_std": self._npy("pitch-std", speaker, name).astype(np.float32),
-        }
-        return item
+        return self._item_from_entry(
+            (name, speaker, np.int32(self.speaker_map[speaker]), seq))
 
     def _collate_native(self, entries, L: int, T: int):
         """Batch-load every feature family with the native threaded npy
@@ -195,16 +186,23 @@ class FS2Dataset:
         def paths(kind):
             return [self._npy_path(kind, spk, name) for spk, name in names]
 
-        mels, mel_lens = native.load_npy_batch(paths("mel"), T, 80)
-        energies, _ = native.load_npy_batch(paths("energy"), L, 1)
-        durations, _ = native.load_npy_batch(paths("duration"), L, 1)
-        pitches, _ = native.load_npy_batch(paths("pitch"), L, 1)
-        cwt, _ = native.load_npy_batch(paths("cwt-pitch"), L, 11)
-        pmean, _ = native.load_npy_batch(paths("pitch-mean"), 1, 1)
-        pstd, _ = native.load_npy_batch(paths("pitch-std"), 1, 1)
-        if (mel_lens < 0).any():
-            bad = [names[i] for i in np.nonzero(mel_lens < 0)[0]]
-            raise FileNotFoundError(f"failed to load mel for {bad[:3]}")
+        def load(kind, rows, cols):
+            arr, lens = native.load_npy_batch(paths(kind), rows, cols)
+            if (lens < 0).any():
+                # fail like the np.load path would — a silent all-zero row
+                # would train on corrupt targets without a word
+                bad = [names[i] for i in np.nonzero(lens < 0)[0]]
+                raise FileNotFoundError(
+                    f"failed to load {kind} for {bad[:3]}")
+            return arr, lens
+
+        mels, mel_lens = load("mel", T, 80)
+        energies, _ = load("energy", L, 1)
+        durations, _ = load("duration", L, 1)
+        pitches, _ = load("pitch", L, 1)
+        cwt, _ = load("cwt-pitch", L, 11)
+        pmean, _ = load("pitch-mean", 1, 1)
+        pstd, _ = load("pitch-std", 1, 1)
 
         batch = {
             "speakers": np.asarray([sid for (_n, _s, sid, _q) in entries],

@@ -47,33 +47,25 @@ class MelDataset:
         return np.pad(wav, (0, seg - len(wav)))
 
     def load_item(self, idx: int, rng: random.Random):
+        """One (mel, wav, mel_loss) item. Cropping/padding delegates to
+        _load_segment — a single code path keeps the fine-tuning
+        pad/clamp semantics identical between per-item and batched
+        loading (the crop branch used to live here too and drifted: it
+        missed the short-wav pad, yielding misaligned mel/mel_loss)."""
         cfg = self.cfg
-        wav = load_wav(self.paths[idx], cfg.sampling_rate)
-        if not self.fine_tuning:
-            if self.split:
-                wav = self._segment(wav, rng)
-            mel = np.asarray(hifigan_mel(
-                wav[None], cfg.n_fft, cfg.num_mels, cfg.sampling_rate,
-                cfg.hop_size, cfg.win_size, cfg.mel_fmin, self.fmax))[0]
-        else:
-            base = os.path.splitext(os.path.basename(self.paths[idx]))[0]
-            mel = np.load(os.path.join(self.base_mels_path, base + ".npy"))
-            if mel.ndim == 2 and mel.shape[0] == cfg.num_mels:
-                mel = mel.T  # accept (n_mels, T) layout
-            if self.split:
-                if mel.shape[0] >= self.frames_per_seg:
-                    start = rng.randint(0, mel.shape[0] - self.frames_per_seg)
-                    mel = mel[start : start + self.frames_per_seg]
-                    wav = wav[start * cfg.hop_size :
-                              (start + self.frames_per_seg) * cfg.hop_size]
-                else:
-                    mel = np.pad(mel, ((0, self.frames_per_seg - mel.shape[0]),
-                                       (0, 0)))
-                    wav = np.pad(wav, (0, cfg.segment_size - len(wav)))
+        wav, mel = self._load_segment(idx, rng)
         mel_loss = np.asarray(hifigan_mel(
             wav[None], cfg.n_fft, cfg.num_mels, cfg.sampling_rate,
             cfg.hop_size, cfg.win_size, cfg.mel_fmin,
-            self.fmax_loss or self.fmax))[0]
+            self.fmax_loss or self.fmax), np.float32)[0]
+        if mel is None:   # not fine-tuning: mel from the wav at self.fmax
+            if (self.fmax_loss or self.fmax) == self.fmax:
+                mel = mel_loss   # identical transform: don't compute twice
+            else:
+                mel = np.asarray(hifigan_mel(
+                    wav[None], cfg.n_fft, cfg.num_mels, cfg.sampling_rate,
+                    cfg.hop_size, cfg.win_size, cfg.mel_fmin, self.fmax),
+                    np.float32)[0]
         return mel.astype(np.float32), wav.astype(np.float32), mel_loss
 
     def _load_segment(self, idx: int, rng: random.Random):
@@ -151,6 +143,10 @@ class MelDataset:
                 self.fmax_loss or self.fmax), np.float32)
             if self.fine_tuning:
                 mel_b = np.stack([m for _, m in loaded])
+            elif (self.fmax_loss or self.fmax) == self.fmax:
+                # default config has no distinct fmax_loss: the generator
+                # input mel IS the loss mel — one spectrogram pass, not two
+                mel_b = mel_loss_b
             else:
                 mel_b = np.asarray(hifigan_mel(
                     wav_b, cfg.n_fft, cfg.num_mels, cfg.sampling_rate,

@@ -37,22 +37,23 @@ def mel_cepstra(mel: np.ndarray, n_coeffs: int = 13) -> np.ndarray:
 
 
 def dtw_path(cost: np.ndarray):
-    """Classic DTW over a (T1, T2) cost matrix -> list of (i, j) pairs."""
+    """Classic DTW over a (T1, T2) cost matrix -> list of (i, j) pairs.
+
+    Anti-diagonal sweep: every cell on diagonal d=i+j depends only on
+    diagonals d-1 and d-2, so each diagonal is ONE vectorized update —
+    O(T1+T2) Python iterations instead of O(T1*T2) (a row-sequential
+    inner loop blocked the training loop for seconds per val utterance
+    at max_seq_len-scale mels)."""
     T1, T2 = cost.shape
     acc = np.full((T1 + 1, T2 + 1), np.inf)
     acc[0, 0] = 0.0
-    for i in range(1, T1 + 1):
-        row = cost[i - 1]
-        prev = acc[i - 1]
-        cur = acc[i]
-        # acc[i, j] = cost + min(acc[i-1, j], acc[i-1, j-1], acc[i, j-1])
-        m = np.minimum(prev[1:], prev[:-1])   # diag / up
-        # left dependency is sequential:
-        run = np.inf
-        for j in range(1, T2 + 1):
-            best = min(m[j - 1], run)
-            run = row[j - 1] + best
-            cur[j] = run
+    for d in range(2, T1 + T2 + 1):
+        i = np.arange(max(1, d - T2), min(T1, d - 1) + 1)
+        j = d - i
+        # acc[i, j] = cost + min(acc[i-1, j], acc[i-1, j-1], acc[i, j-1]);
+        # all three reads are on earlier diagonals — no aliasing
+        acc[i, j] = cost[i - 1, j - 1] + np.minimum(
+            np.minimum(acc[i - 1, j], acc[i, j - 1]), acc[i - 1, j - 1])
     # backtrack
     path = []
     i, j = T1, T2

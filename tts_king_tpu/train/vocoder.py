@@ -60,10 +60,13 @@ class VocoderTrainer:
         lr = optax.exponential_decay(
             cfg.learning_rate, transition_steps=steps_per_epoch,
             decay_rate=cfg.lr_decay, staircase=True)
+        # weight_decay 0.01: torch.optim.AdamW's default, which the
+        # upstream hifi-gan train.py implicitly relies on (it passes only
+        # lr/betas) — optax.adamw matches torch's decoupled semantics
         self.gen_tx = optax.adamw(lr, b1=cfg.adam_b1, b2=cfg.adam_b2,
-                                  weight_decay=0.0)
+                                  weight_decay=0.01)
         self.disc_tx = optax.adamw(lr, b1=cfg.adam_b1, b2=cfg.adam_b2,
-                                   weight_decay=0.0)
+                                   weight_decay=0.01)
 
     def init_state(self, rng, segment_frames: int) -> VocoderTrainState:
         cfg = self.cfg
@@ -140,6 +143,23 @@ class VocoderTrainer:
             return new_state, VocoderLosses(d_loss, g_loss, l_mel, l_fm, l_adv)
 
         return train_step
+
+    def make_eval_step(self):
+        """Validation mel-L1 (upstream hifi-gan's val metric): generator
+        forward on a (mel, wav, mel_loss) segment batch, L1 against the
+        fmax_loss mel. Same batch shapes as training — no extra compiles."""
+        cfg = self.cfg
+        gen = self.gen
+
+        def eval_step(state: VocoderTrainState, batch):
+            y = gen.apply({"params": state.gen_params}, batch["mel"])
+            mel_g = hifigan_mel(y, cfg.n_fft, cfg.num_mels,
+                                cfg.sampling_rate, cfg.hop_size,
+                                cfg.win_size, cfg.mel_fmin,
+                                cfg.mel_fmax_loss or cfg.mel_fmax)
+            return jnp.mean(jnp.abs(mel_g - batch["mel_loss"]))
+
+        return eval_step
 
     def export_inference_params(self, gen_params):
         """Fold weight-norm (g, v) pairs into plain kernels for the inference

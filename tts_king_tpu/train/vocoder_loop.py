@@ -55,6 +55,12 @@ def train_vocoder(cfg: TTSConfig, wav_paths: List[str],
 
     dataset = MelDataset(wav_paths, vc, split=True, fine_tuning=fine_tuning,
                          base_mels_path=base_mels_path, seed=vc.seed)
+    if len(dataset) < vc.batch_size:
+        # batches() would yield nothing and the epoch loop would spin
+        # forever — fail loudly like the batch-divisibility check does
+        raise ValueError(
+            f"{len(dataset)} training wavs < vocoder batch_size="
+            f"{vc.batch_size}; add data or lower the batch size")
     steps_per_epoch = max(len(dataset) // vc.batch_size, 1)
     trainer = VocoderTrainer(vc, disc_p_channels=disc_p_channels,
                              msd_width=msd_width,
@@ -105,6 +111,35 @@ def train_vocoder(cfg: TTSConfig, wav_paths: List[str],
 
     step_fn = maybe_lockstep(jax.jit(trainer.make_train_step()),
                              "voc_train_step")
+
+    val_set = None
+    if val_paths:
+        vp = list(val_paths)
+        if len(vp) < vc.batch_size:
+            # cycle up to one full batch: crops differ per item (per-item
+            # RNG), and one compile shape is kept for any val-set size
+            vp = (vp * vc.batch_size)[: vc.batch_size]
+        val_set = MelDataset(vp, vc, split=True, fine_tuning=fine_tuning,
+                             base_mels_path=base_mels_path, seed=vc.seed,
+                             shuffle=False)
+        eval_fn = maybe_lockstep(jax.jit(trainer.make_eval_step()),
+                                 "voc_eval_step")
+
+    def validate(step, state):
+        """Validation mel-L1 over the val split (deterministic crops)."""
+        if val_set is None:
+            return
+        vals = []
+        for vb in val_set.batches(vc.batch_size, seed=vc.seed, shard=shard):
+            if mesh is not None:
+                from tts_king_tpu.parallel.mesh import globalize_batch
+
+                vb = globalize_batch(mesh, vb)
+            vals.append(eval_fn(state, vb))
+        if vals:
+            # fetch on every process (symmetric), log on process 0
+            v = float(np.mean(jax.device_get(vals)))
+            logger.log(step, {"val_mel_l1": v}, prefix="vocoder_val")
     if jax.process_index() == 0:
         logger = MetricsLogger(cfg.train.result_path,
                                cfg.exp_name + "_vocoder",
@@ -157,6 +192,7 @@ def train_vocoder(cfg: TTSConfig, wav_paths: List[str],
                             zip(VOC_LOSS_NAMES, jax.device_get(tuple(losses)))}
                     logger.log(step, host, prefix="vocoder")
                 if step % save_every == 0:
+                    validate(step, state)
                     save(step)
                 if step >= total:
                     break
@@ -167,6 +203,7 @@ def train_vocoder(cfg: TTSConfig, wav_paths: List[str],
             save(step)
         logger.close()
         raise
+    validate(step, state)
     save(step)
     logger.close()
     return state
