@@ -7,6 +7,12 @@ Russian phonemes, and the @mask token used for grapheme masking.
 
 Order is load-bearing: phoneme IDs are positions in this list, and converted
 reference checkpoints index their embedding tables by these IDs.
+
+The reference also ships a pinyin symbol inventory
+(fs_two/text/pinyin.py) but comments it OUT of the table
+(symbols.py:29 `# + _pinyin`), so it contributes no IDs and is dead at
+runtime; it is deliberately not ported — adding it would shift every
+Russian phoneme ID and break checkpoint parity.
 """
 
 from tts_king_tpu.text import cmudict, russian
