@@ -7,6 +7,7 @@ through the dynamic-batching server.
 
 Runs standalone with random weights when no checkpoints are present, so it
 doubles as a smoke test:  python examples/basic_usage.py
+Pass --micro for toy model sizes (seconds on CPU; identical flow).
 """
 
 import os
@@ -18,13 +19,30 @@ import numpy as np
 
 
 def main():
-    from tts_king_tpu.config import TTSConfig, load_config
+    import argparse
+
+    from tts_king_tpu.config import TTSConfig, load_config, micro_config
     from tts_king_tpu.pipeline import TTSKing
 
-    cfg_path = os.path.join(os.path.dirname(__file__), "..", "config.yaml")
-    cfg = load_config(cfg_path) if os.path.exists(cfg_path) else TTSConfig()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--micro", action="store_true",
+                    help="toy model sizes (fast on CPU; identical flow)")
+    args = ap.parse_args()
+
+    if args.micro:
+        cfg = micro_config()
+    else:
+        cfg_path = os.path.join(os.path.dirname(__file__), "..",
+                                "config.yaml")
+        cfg = load_config(cfg_path) if os.path.exists(cfg_path) else TTSConfig()
 
     king = TTSKing(cfg)
+    if args.micro:
+        # bias the duration head so untrained weights emit nonzero durations
+        import jax.numpy as jnp
+        dp = king.tts.variables["params"]["variance_adaptor"][
+            "duration_predictor"]["linear_layer"]
+        dp["bias"] = jnp.full_like(dp["bias"], 1.5)
     print(f"speakers ({len(king.speakers)}):", king.speakers[:5], "...")
 
     # --- phoneme-level input (no external G2P needed) -----------------

@@ -38,34 +38,13 @@ def post(base, path, body, timeout=300):
     return urllib.request.urlopen(req, timeout=timeout)
 
 
-def micro_config():
-    """Toy-sized TTSConfig: same architecture, tiny widths."""
-    from tts_king_tpu.config import (ModelConfig, TransformerConfig,
-                                     TTSConfig, VariancePredictorConfig,
-                                     VocoderModelConfig)
-
-    return TTSConfig(
-        model=ModelConfig(
-            transformer=TransformerConfig(
-                encoder_layer=1, encoder_head=2, encoder_hidden=16,
-                variance_hidden=16, decoder_layer=1, decoder_head=2,
-                decoder_hidden=16, conv_filter_size=32),
-            variance_predictor=VariancePredictorConfig(filter_size=16),
-            max_seq_len=256),
-        vocoder=VocoderModelConfig(
-            upsample_rates=[8, 8, 2, 2], upsample_kernel_sizes=[16, 16, 4, 4],
-            upsample_initial_channel=16, resblock_kernel_sizes=[3],
-            resblock_dilation_sizes=[[1, 3, 5]]),
-    )
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--micro", action="store_true",
                     help="toy model sizes (fast on CPU; identical flow)")
     args = ap.parse_args()
 
-    from tts_king_tpu.config import TTSConfig, load_config
+    from tts_king_tpu.config import TTSConfig, load_config, micro_config
     from tts_king_tpu.pipeline import TTSKing
     from tts_king_tpu.serve import SynthesisServer, serve_http
 

@@ -62,14 +62,19 @@ def main():
                     help="vocode the whole track as ONE long utterance "
                          "time-sharded across all devices (ICI halo "
                          "exchange, ops/time_parallel.py)")
+    ap.add_argument("--micro", action="store_true",
+                    help="toy model sizes (fast on CPU; identical flow)")
     args = ap.parse_args()
 
     from scipy.io import wavfile
 
-    from tts_king_tpu.config import TTSConfig, load_config
+    from tts_king_tpu.config import (TTSConfig, load_config, micro_config)
     from tts_king_tpu.pipeline import TTSKing
 
-    cfg = load_config(args.config) if args.config else TTSConfig()
+    if args.micro:
+        cfg = micro_config()
+    else:
+        cfg = load_config(args.config) if args.config else TTSConfig()
     king = TTSKing(cfg)
     if not (cfg.acoustic.weights_path
             and os.path.exists(cfg.acoustic.weights_path)):

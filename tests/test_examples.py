@@ -29,3 +29,20 @@ def test_serving_example_micro():
     assert "/stream -> 200" in out
     assert "restarted server answered" in out
     assert out.rstrip().endswith("done")
+
+
+def test_basic_usage_example_micro():
+    proc = _run_example("examples/basic_usage.py", "--micro")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "valid frames" in proc.stdout
+    assert "served 3 requests" in proc.stdout
+
+
+def test_voice_over_example_micro(tmp_path):
+    out = str(tmp_path / "vo.wav")
+    proc = _run_example("examples/voice_over.py", "--micro",
+                        "--line", "0|привет мир", "--line", "1|тест",
+                        "--out", out)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert os.path.exists(out)
+    assert "2 lines" in proc.stdout

@@ -369,3 +369,24 @@ def _from_reference_layout(raw):
             "vocoder_use_cpu": mc.get("vocoder", {}).get("use_cpu", False),
         }
     return out
+
+
+def micro_config() -> TTSConfig:
+    """Toy-sized TTSConfig — the full architecture at tiny widths.
+
+    For demos, tests, and TPU-less smoke runs (examples/*.py --micro):
+    every pipeline feature behaves identically, the compiles just take
+    seconds on CPU instead of minutes through a TPU relay."""
+    return TTSConfig(
+        model=ModelConfig(
+            transformer=TransformerConfig(
+                encoder_layer=1, encoder_head=2, encoder_hidden=16,
+                variance_hidden=16, decoder_layer=1, decoder_head=2,
+                decoder_hidden=16, conv_filter_size=32),
+            variance_predictor=VariancePredictorConfig(filter_size=16),
+            max_seq_len=256),
+        vocoder=VocoderModelConfig(
+            upsample_rates=[8, 8, 2, 2], upsample_kernel_sizes=[16, 16, 4, 4],
+            upsample_initial_channel=16, resblock_kernel_sizes=[3],
+            resblock_dilation_sizes=[[1, 3, 5]]),
+    )
