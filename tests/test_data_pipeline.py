@@ -171,3 +171,22 @@ def test_grapheme_masking():
     n_masked = sum(1 for p in masked if p == MASK)
     assert 1 <= n_masked <= int(0.15 * len(phones))
     assert "sp" in masked  # silences never masked
+
+
+def test_superbatch_fast_forward_and_count(corpus):
+    """superbatches_per_epoch() matches the generator, and start_batch=k
+    yields exactly the batches the full epoch yields after position k
+    (metadata-only fast-forward for mid-epoch resume)."""
+    from tts_king_tpu.config import OptimizerConfig, TrainConfig
+    from tts_king_tpu.data.dataset import FS2Dataset
+
+    cfg, _ = corpus
+    tc = TrainConfig(optimizer=OptimizerConfig(batch_size=1, grad_acc_step=1))
+    ds = FS2Dataset("train.txt", cfg, tc, max_mel_len=64)
+    full = list(ds.epoch_superbatches(seed=7))
+    assert ds.superbatches_per_epoch() == len(full) == 3
+    tail = list(ds.epoch_superbatches(seed=7, start_batch=2))
+    assert len(tail) == 1
+    for key in full[2]:
+        np.testing.assert_array_equal(full[2][key], tail[0][key],
+                                      err_msg=key)

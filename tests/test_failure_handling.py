@@ -62,3 +62,58 @@ def test_native_loader_matches_python_path(env):  # noqa: F811
             else:
                 np.testing.assert_allclose(a[key], b[key], rtol=0, atol=0,
                                            err_msg=key)
+
+
+def test_emergency_checkpoint_saves_progress(env, monkeypatch):  # noqa: F811
+    """A crash MID-training persists the last completed (state, step) —
+    not the state captured before the loop started (which would silently
+    save zero progress past try-entry)."""
+    import dataclasses
+
+    import tts_king_tpu.parallel.lockstep as ls
+    import tts_king_tpu.train.loop as loop_mod
+    from tts_king_tpu.checkpoint import restore_train_state
+
+    cfg = env
+    ckpt = cfg.train.ckpt_path + "_midcrash"
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, ckpt_path=ckpt))
+
+    orig = ls.maybe_lockstep
+
+    def patched(jitted, name):
+        fn = orig(jitted, name)
+        if name != "train_step":
+            return fn
+        calls = {"n": 0}
+
+        def wrapper(*args):
+            if calls["n"] >= 3:
+                raise RuntimeError("injected mid-run failure")
+            calls["n"] += 1
+            return fn(*args)
+
+        return wrapper
+
+    monkeypatch.setattr(ls, "maybe_lockstep", patched)
+    with pytest.raises(RuntimeError, match="injected mid-run"):
+        loop_mod.train(cfg, max_steps=10, use_mesh=False)
+    payload = restore_train_state(ckpt)
+    assert int(payload["step"]) == 3, "emergency save lost training progress"
+
+
+def test_restore_step_without_checkpoint_fails_loudly(env):  # noqa: F811
+    """restore_step pointing at a missing checkpoint dir raises instead of
+    silently training from random weights with a mid-run step counter."""
+    import dataclasses
+
+    from tts_king_tpu.train.loop import train
+
+    cfg = env
+    cfg = dataclasses.replace(
+        cfg,
+        train=dataclasses.replace(cfg.train,
+                                  ckpt_path=cfg.train.ckpt_path + "_nodir"),
+        acoustic=dataclasses.replace(cfg.acoustic, restore_step=100))
+    with pytest.raises(FileNotFoundError, match="restore_step=100"):
+        train(cfg, max_steps=1, use_mesh=False)

@@ -114,6 +114,36 @@ def test_train_rejects_unshardable_batch(env):
         train(cfg, max_steps=1, use_mesh=True)
 
 
+def test_synth_preview_writes_outputs(env, tmp_path):
+    """synth_step cadence renders a val sample end to end: mel plot (.png)
+    + vocoded waveform (.wav) per preview step (tools.synth_one_sample
+    parity, fs_two/utils/tools.py:141-206)."""
+    import dataclasses
+
+    from tts_king_tpu.config import (AcousticCheckpointConfig, StepConfig,
+                                     micro_config)
+    from tts_king_tpu.pipeline import Vocoder
+    from tts_king_tpu.train.loop import train
+
+    cfg = dataclasses.replace(
+        env,
+        train=dataclasses.replace(
+            env.train,
+            ckpt_path=str(tmp_path / "ckpt"),
+            result_path=str(tmp_path / "result"),
+            step=StepConfig(total_step=2, log_step=10, synth_step=1,
+                            val_step=100, save_step=100)),
+        vocoder=micro_config().vocoder,
+        acoustic=AcousticCheckpointConfig(restore_step=0))
+    vocoder = Vocoder(cfg)
+    train(cfg, max_steps=2, use_mesh=False, vocoder=vocoder)
+    for step in (1, 2):
+        assert os.path.exists(
+            os.path.join(cfg.train.result_path, f"step_{step}.png"))
+        wav = os.path.join(cfg.train.result_path, f"step_{step}.wav")
+        assert os.path.exists(wav) and os.path.getsize(wav) > 44
+
+
 def test_checkpoint_roundtrip(env, tmp_path):
     import jax
 

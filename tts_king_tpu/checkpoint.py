@@ -170,8 +170,9 @@ def convert_fs2_checkpoint(path: str, n_encoder_layers=4, n_decoder_layers=6,
     return convert_fs2_state(state, n_encoder_layers, n_decoder_layers, use_cwt)
 
 
-def _fold_weight_norm(state, key, transpose_dim0=False):
-    """Fold torch weight_norm (g, v) into a plain weight, dim=0 semantics."""
+def _fold_weight_norm(state, key):
+    """Fold torch weight_norm (g, v) into a plain weight, dim=0 semantics
+    (the only dim upstream hifi-gan uses)."""
     if key + ".weight" in state:
         return _np(state[key + ".weight"])
     g = _np(state[key + ".weight_g"])

@@ -257,7 +257,18 @@ class FS2Dataset:
             batch["pitches_std"][b] = it["pitch_std"]
         return batch
 
-    def epoch_superbatches(self, seed: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    def superbatches_per_epoch(self) -> int:
+        """Superbatch count of one epoch — the batch plan is a pure
+        function of metadata, so this is computable without loading
+        features (train/loop.py derives the resume epoch/offset from it)."""
+        group = self.batch_size * self.group_size
+        full, tail = divmod(len(self.meta), group)
+        if self.drop_last:
+            return full
+        return full + (1 if tail >= self.batch_size else 0)
+
+    def epoch_superbatches(self, seed: int = 0, start_batch: int = 0
+                           ) -> Iterator[Dict[str, np.ndarray]]:
         """Yield (acc, B_local, ...) superbatches for one epoch.
 
         Groups of batch_size*group_size items are length-sorted (desc) and
@@ -267,6 +278,11 @@ class FS2Dataset:
         is identical across shards; when shard=(rank, count) with count > 1,
         only rows [rank*B/count, (rank+1)*B/count) of each microbatch are
         loaded (B_local = batch_size // count).
+
+        start_batch: skip the first N superbatches of the epoch WITHOUT
+        loading their features (metadata-only fast-forward) — mid-epoch
+        resume continues the epoch's data sequence where the crashed run
+        left off instead of replaying it.
         """
         rank, nshards = self.shard
         bs = self.batch_size
@@ -276,6 +292,7 @@ class FS2Dataset:
         rng = np.random.RandomState(seed)
         order = rng.permutation(len(self.meta))
         group = bs * self.group_size
+        emitted = 0
         for start in range(0, len(order) - (group - 1 if self.drop_last else 0),
                            group):
             idxs = order[start : start + group]
@@ -289,6 +306,10 @@ class FS2Dataset:
             micro = [m for m in micro if len(m) == bs]
             if not micro:
                 continue
+            if emitted < start_batch:   # plan-only fast-forward
+                emitted += 1
+                continue
+            emitted += 1
             L = _quantize(max(len(e[3]) for m in micro for e in m), L_STEP)
             T = _quantize(max(self._mel_len(e[1], e[0])
                               for m in micro for e in m),

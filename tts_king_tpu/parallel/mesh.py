@@ -26,14 +26,28 @@ TP_AXIS = "tp"
 
 
 def build_mesh(dp: int = -1, tp: int = 1, devices=None) -> Mesh:
-    """Build a (dp, tp) mesh. dp=-1 uses all remaining devices."""
+    """Build a (dp, tp) mesh. dp=-1 uses all remaining devices.
+
+    dp*tp may be smaller than the device count (an explicit sub-mesh is
+    announced on stderr so nobody silently trains on a fraction of the
+    machine); asking for more devices than exist fails with a clear
+    error instead of numpy's reshape message."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if dp == -1:
         if n % tp:
             raise ValueError(f"{n} devices not divisible by tp={tp}")
         dp = n // tp
+    if dp * tp > n:
+        raise ValueError(
+            f"mesh dp={dp} x tp={tp} needs {dp * tp} devices but only "
+            f"{n} are available")
     if dp * tp != n:
+        import sys
+
+        sys.stderr.write(
+            f"[mesh] note: dp={dp} x tp={tp} uses {dp * tp} of {n} "
+            f"available devices\n")
         devices = devices[: dp * tp]
     grid = np.asarray(devices).reshape(dp, tp)
     return Mesh(grid, (DP_AXIS, TP_AXIS))

@@ -93,11 +93,17 @@ def train(cfg: TTSConfig, max_steps: Optional[int] = None,
         _startup_rendezvous()
 
     rng = jax.random.PRNGKey(tc.seed)
-    sample = next(iter(train_ds.epoch_superbatches(seed=0)), None)
-    if sample is None:
-        raise RuntimeError("training set produced no batches")
-    sample_args = (sample["speakers"][0], sample["texts"][0],
-                   sample["src_lens"][0])
+    if train_ds.superbatches_per_epoch() == 0:
+        raise RuntimeError(
+            f"training set produces no batches: {len(train_ds.meta)} "
+            f"utterances < batch_size*group_size = "
+            f"{tc.optimizer.batch_size * tc.optimizer.grad_acc_step}")
+    # init needs argument shapes/dtypes only — synthetic zeros avoid
+    # loading a full superbatch of feature payloads before training starts
+    b0, l0 = 1, 8
+    sample_args = (np.zeros((b0,), np.int32),
+                   np.zeros((b0, l0), np.int32),
+                   np.full((b0,), l0, np.int32))
     if distributed:
         state, _ = create_sharded_train_state(
             model, optimizer, rng, sample_args, mesh,
@@ -107,7 +113,13 @@ def train(cfg: TTSConfig, max_steps: Optional[int] = None,
                                    start_step=cfg.acoustic.restore_step)
 
     ckpt_dir = tc.ckpt_path
-    if cfg.acoustic.restore_step and os.path.isdir(ckpt_dir):
+    if cfg.acoustic.restore_step and not os.path.isdir(ckpt_dir):
+        # fail loudly: silently training from random weights while the
+        # step counter claims a resume would look like a successful run
+        raise FileNotFoundError(
+            f"restore_step={cfg.acoustic.restore_step} but checkpoint "
+            f"directory {ckpt_dir!r} does not exist")
+    if cfg.acoustic.restore_step:
         from flax.serialization import from_state_dict
 
         payload = restore_train_state(ckpt_dir, cfg.acoustic.restore_step)
@@ -143,8 +155,12 @@ def train(cfg: TTSConfig, max_steps: Optional[int] = None,
     # single-process and TPU-pod runs.
     from tts_king_tpu.parallel.lockstep import maybe_lockstep
 
+    # donate_argnums: the loop rebinds state every step, so the old
+    # params+Adam buffers are dead after the call — donation halves the
+    # optimizer-state peak memory (no-op where the backend lacks it)
     train_step = maybe_lockstep(
-        jax.jit(make_train_step(model, optimizer, cfg.model.use_cwt)),
+        jax.jit(make_train_step(model, optimizer, cfg.model.use_cwt),
+                donate_argnums=(0,)),
         "train_step")
     eval_step = maybe_lockstep(
         jax.jit(make_eval_step(model, cfg.model.use_cwt)), "eval_step")
@@ -158,8 +174,18 @@ def train(cfg: TTSConfig, max_steps: Optional[int] = None,
         logger = _NullLogger()
     os.makedirs(tc.ckpt_path, exist_ok=True)
 
-    eval_globalize = ((lambda b: globalize_batch(mesh, b))
-                      if distributed else None)
+    # gate on mesh (not `distributed`) so single-process multi-device
+    # validation gets the same explicit dp batch sharding the train path
+    # uses, instead of compiler-chosen layouts
+    eval_globalize = None
+    if mesh is not None:
+        def eval_globalize(b):
+            if b["speakers"].shape[0] % mesh.shape["dp"]:
+                # ragged val tail (single-process only: sharded datasets
+                # drop it) — leave as host arrays; exact, just not
+                # dp-placed. Distributed batches are always divisible.
+                return b
+            return globalize_batch(mesh, b)
     if distributed:
         vocoder = None  # synth preview needs locally-addressable params
 
@@ -170,14 +196,22 @@ def train(cfg: TTSConfig, max_steps: Optional[int] = None,
 
     total = max_steps if max_steps is not None else tc.step.total_step
     step = int(state.step)
-    epoch = 0
+    # Resume continues the epoch data sequence where the run left off:
+    # derive (epoch, offset) from the restored step instead of replaying
+    # the first epochs' permutations/masks a second time.
+    spe = train_ds.superbatches_per_epoch()
+    epoch = step // spe
+    start_batch = step % spe
     t_last = time.time()
-    done = False
+    # _run_epochs keeps this updated with the last COMPLETED (state, step)
+    # so the emergency path below saves actual progress, not the state
+    # captured before the try (which would persist zero training).
+    progress = {"state": state, "step": step}
     try:
         state, step = _run_epochs(
             cfg, state, step, total, epoch, train_ds, val_ds, train_step,
             eval_step, logger, rng, mesh, vocoder, model, t_last,
-            eval_globalize)
+            eval_globalize, start_batch=start_batch, progress=progress)
     except (KeyboardInterrupt, Exception):
         # Failure containment (the reference has none, SURVEY.md §5.3):
         # persist an emergency checkpoint so the run is resumable, then
@@ -188,11 +222,21 @@ def train(cfg: TTSConfig, max_steps: Optional[int] = None,
         # save barrier and bury the real error under a barrier timeout.
         try:
             if jax.process_count() == 1:
-                # device arrays go straight to orbax (sharded-save safe)
-                save_train_state(tc.ckpt_path, step, state.variables(),
-                                 state.opt_state)
-                logger.log(step, {"emergency_checkpoint": 1.0},
-                           prefix="failure")
+                state, step = progress["state"], progress["step"]
+                try:
+                    # device arrays go straight to orbax (sharded-save safe)
+                    save_train_state(tc.ckpt_path, step, state.variables(),
+                                     state.opt_state)
+                    logger.log(step, {"emergency_checkpoint": 1.0},
+                               prefix="failure")
+                except Exception as save_err:
+                    # best-effort only: if the crash happened after the
+                    # step donated these buffers (donate_argnums), the
+                    # arrays are gone — report, never mask the real error
+                    import sys
+
+                    sys.stderr.write(
+                        f"[train] emergency checkpoint failed: {save_err}\n")
         finally:
             logger.close()
         raise
@@ -240,7 +284,7 @@ class _NullLogger:
 
 def _run_epochs(cfg, state, step, total, epoch, train_ds, val_ds, train_step,
                 eval_step, logger, rng, mesh, vocoder, model, t_last,
-                eval_globalize=None):
+                eval_globalize=None, start_batch=0, progress=None):
     tc = cfg.train
     done = False
     # TTK_TRAIN_TRACE=1: per-step stderr progress markers (dispatch-time,
@@ -252,17 +296,23 @@ def _run_epochs(cfg, state, step, total, epoch, train_ds, val_ds, train_step,
     while not done:
         epoch += 1
         trace(f"epoch {epoch} batch plan ready")
-        for superbatch in train_ds.epoch_superbatches(seed=tc.seed + epoch):
+        for superbatch in train_ds.epoch_superbatches(
+                seed=tc.seed + epoch, start_batch=start_batch):
             if mesh is not None:
                 # Per-process local rows -> one global sharded array
                 # (single-process: equivalent to a sharded device_put).
                 superbatch = globalize_batch(mesh, superbatch,
                                              extra_leading_axis=True)
-            rng, step_rng = jax.random.split(rng)
+            # fold_in(base, step) instead of iterated splits: O(1) to
+            # derive at ANY step, so a resumed run's dropout stream is
+            # position-identical to the uninterrupted run's by construction
+            step_rng = jax.random.fold_in(rng, step)
             trace(f"step {step + 1} dispatch "
                   f"shape={tuple(superbatch['texts'].shape)}")
             state, losses = train_step(state, superbatch, step_rng)
             step += 1
+            if progress is not None:
+                progress["state"], progress["step"] = state, step
 
             if step % tc.step.log_step == 0:
                 dt = (time.time() - t_last) / tc.step.log_step
@@ -281,7 +331,7 @@ def _run_epochs(cfg, state, step, total, epoch, train_ds, val_ds, train_step,
                 val = evaluate(eval_step, state, val_ds,
                                globalize=eval_globalize)
                 logger.log_losses(step, val, prefix="val")
-                if tc.objective_val_utts and eval_globalize is None:
+                if tc.objective_val_utts and jax.process_count() == 1:
                     # free-running MCD / duration-MAE (train/metrics.py);
                     # skipped on multi-host runs (params aren't process-
                     # local there). F0 metrics need a vocoder: scripts/
@@ -301,19 +351,33 @@ def _run_epochs(cfg, state, step, total, epoch, train_ds, val_ds, train_step,
             if step >= total:
                 done = True
                 break
+        start_batch = 0   # the fast-forward applies to the resume epoch only
     return state, step
 
 
 def _synth_preview(cfg, model, state, val_ds, vocoder, step):
     """Synthesize one validation sample, save wav + mel plot
-    (tools.synth_one_sample equivalent, fs_two/utils/tools.py:141-206)."""
+    (tools.synth_one_sample equivalent, fs_two/utils/tools.py:141-206).
+
+    The sample ROTATES through the val set with the preview step —
+    batches() is deterministic-ordered, so a fixed index would render
+    the same utterance forever."""
     from scipy.io import wavfile
 
     from tts_king_tpu.utils.plotting import plot_mel
 
-    batch = next(iter(val_ds.batches(seed=step, batch_size=1)), None)
-    if batch is None:
+    from tts_king_tpu.data.dataset import L_STEP, T_STEP, _quantize
+
+    n_val = len(val_ds.meta)
+    if n_val == 0:
         return
+    k = (step // max(cfg.train.step.synth_step, 1)) % n_val
+    e = val_ds._entry(int(k))
+    # quantized pad lengths (same grid as the batched loaders) so rotating
+    # previews reuse a handful of compiled shapes instead of one per sample
+    L = _quantize(len(e[3]), L_STEP)
+    T = _quantize(val_ds._mel_len(e[1], e[0]), T_STEP, val_ds.max_mel_len)
+    batch = val_ds._collate([val_ds._item_from_entry(e)], L, T)
     out = model.apply(
         state.variables(), batch["speakers"], batch["texts"],
         batch["src_lens"], max_mel_len=cfg.model.max_seq_len, train=False)
@@ -335,8 +399,10 @@ def _synth_preview(cfg, model, state, val_ds, vocoder, step):
 
     plt.close(fig)
 
-    if vocoder is not None:
-        wavs = vocoder.generate(mel_pred[None], lengths=[n * cfg.preprocess.stft.hop_length])
-        wavfile.write(
-            os.path.join(cfg.train.result_path, f"step_{step}.wav"),
-            cfg.preprocess.audio.sampling_rate, wavs[0])
+    # caller guarantees vocoder is not None (distributed runs pass None
+    # and skip the preview entirely)
+    wavs = vocoder.generate(mel_pred[None],
+                            lengths=[n * cfg.preprocess.stft.hop_length])
+    wavfile.write(
+        os.path.join(cfg.train.result_path, f"step_{step}.wav"),
+        cfg.preprocess.audio.sampling_rate, wavs[0])

@@ -109,7 +109,10 @@ def train_vocoder(cfg: TTSConfig, wav_paths: List[str],
         else:
             state = jax.tree.map(np.asarray, restored)
 
-    step_fn = maybe_lockstep(jax.jit(trainer.make_train_step()),
+    # donate: the loop rebinds state every step (old GAN params + both
+    # Adam states are dead after the call) — halves peak optimizer memory
+    step_fn = maybe_lockstep(jax.jit(trainer.make_train_step(),
+                                     donate_argnums=(0,)),
                              "voc_train_step")
 
     val_set = None
@@ -198,10 +201,20 @@ def train_vocoder(cfg: TTSConfig, wav_paths: List[str],
                     break
     except (KeyboardInterrupt, Exception):
         # single-process only: a distributed orbax save is itself a
-        # collective and exceptions are not guaranteed symmetric
-        if jax.process_count() == 1:
-            save(step)
-        logger.close()
+        # collective and exceptions are not guaranteed symmetric.
+        # Best-effort: if the crash happened after the failing step already
+        # donated `state`'s buffers, the save itself fails — report it and
+        # re-raise the ORIGINAL error (save_every checkpoints are the floor).
+        try:
+            if jax.process_count() == 1:
+                save(step)
+        except Exception as save_err:
+            import sys
+
+            sys.stderr.write(
+                f"[train_vocoder] emergency checkpoint failed: {save_err}\n")
+        finally:
+            logger.close()
         raise
     validate(step, state)
     save(step)
