@@ -60,6 +60,32 @@ def test_vocoder_generate(small_cfg):
     assert len(trimmed[0]) == 1000 and len(trimmed[1]) == 2000
 
 
+def test_vocoder_int16_cast_matches_numpy_semantics(small_cfg):
+    """The device-side scale+cast (Vocoder.vocode_int16 / _cast_i16) must
+    reproduce the reference's host conversion `(w * 32768).astype(np.int16)`
+    (hifiapi.py:49-51) BIT-EXACTLY — including the wrap at exactly full
+    scale, where XLA's direct f32->s16 would saturate instead. Guarded by
+    the f32->s32->s16 hop; this pins that behavior."""
+    from tts_king_tpu.pipeline import Vocoder
+
+    voc = Vocoder(small_cfg)
+    scale = small_cfg.vocoder.max_wav_value
+    w = np.concatenate([
+        np.array([1.0, -1.0, 0.999969, -1.000031, 0.0, 0.5, -0.5],
+                 np.float32),
+        np.random.RandomState(3).uniform(-1, 1, 4096).astype(np.float32)])
+    host = (w * scale).astype(np.int16)
+    dev = np.asarray(voc._cast_i16(w))
+    np.testing.assert_array_equal(dev, host)
+
+    # the fused apply+cast path agrees with apply-then-cast
+    mel = np.random.RandomState(4).randn(1, 24, 80).astype(np.float32)
+    fused = np.asarray(voc.vocode_int16(mel))
+    two_step = (np.asarray(voc(mel), np.float32) * scale).astype(np.int16)
+    assert np.mean(np.abs(fused.astype(np.int32)
+                          - two_step.astype(np.int32)) > 1) < 1e-3
+
+
 def test_ttsking_speak_with_lexicon(small_cfg, tmp_path):
     from tts_king_tpu.pipeline import TTSKing
 

@@ -379,9 +379,14 @@ def test_prewarm_compiles_serving_grid(king):
         assert out["phone_buckets"] == [16, 32]
         assert out["mel_buckets"], "no vocoder shapes warmed"
         assert set(out["mel_buckets"]) <= set(MEL_BUCKETS)
+        # prewarm must warm the SAME vocoder executable production
+        # dispatches (the int16-fused one), not a lookalike
+        voc_cache = king.vocoder._apply_i16._cache_size()
         wav = server.submit(
             phonemes=np.arange(64, 76, dtype=np.int32)).result(timeout=300)
         assert wav.dtype == np.int16
+        assert king.vocoder._apply_i16._cache_size() == voc_cache, \
+            "live request compiled a vocoder shape prewarm missed"
     finally:
         server.close()
 

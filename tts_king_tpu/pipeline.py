@@ -282,19 +282,40 @@ class Vocoder:
                 self.variables = self.model.init(
                     jax.random.PRNGKey(0), jnp.zeros((1, 16, 80)))
         self._apply = jax.jit(self.model.apply)
+        # int16 scale+cast ON DEVICE: halves device->host transfer bytes
+        # (int16 vs float32) and offloads the per-sample host work. The
+        # int32 hop matters: XLA's direct f32->s16 convert SATURATES at
+        # full scale, while numpy (and the reference's `.astype(np.int16)`,
+        # hifiapi.py:49-51) WRAPS — f32->s32->s16 reproduces the wrap
+        # bit-exactly (verified vs numpy on the golden fixtures).
+        scale = self.config.vocoder.max_wav_value
+        self._cast_i16 = jax.jit(
+            lambda w: (w * scale).astype(jnp.int32).astype(jnp.int16))
+        self._apply_i16 = jax.jit(
+            lambda v, m: (self.model.apply(v, m) * scale)
+            .astype(jnp.int32).astype(jnp.int16))
 
     def __call__(self, mel):
         """mel: (B, T, 80) natural-log mel -> float waveform in [-1, 1]."""
+        return self._apply(self.variables, self._prep_mel(mel))
+
+    def _prep_mel(self, mel):
         mel = jnp.asarray(mel)
         if self.kind == "MelGAN":
             mel = mel / np.log(10.0)
-        return self._apply(self.variables, mel)
+        return mel
+
+    def vocode_int16(self, mel):
+        """mel -> DEVICE int16 waveform scaled by max_wav_value — the
+        scale+cast fused into the vocoder program (no float leaves the
+        device). Async-safe: accepts device-resident (still computing)
+        mels and returns without forcing a host sync."""
+        return self._apply_i16(self.variables, self._prep_mel(mel))
 
     def generate(self, mel, lengths=None):
         """mel -> int16 numpy waveform scaled by max_wav_value
         (hifiapi.py:40-52); optional per-item sample lengths for trimming."""
-        wav = np.asarray(self(mel), np.float32)
-        wav = (wav * self.config.vocoder.max_wav_value).astype(np.int16)
+        wav = np.asarray(self.vocode_int16(mel))
         if lengths is not None:
             return [w[:n] for w, n in zip(wav, np.asarray(lengths))]
         return wav
@@ -314,8 +335,7 @@ class Vocoder:
         halo = generator_receptive_field(self.config.vocoder)
         wav = vocoder_time_sharded(self._apply, self.variables, mel, mesh,
                                    halo_frames=halo, upsample=up, axis=axis)
-        wav = np.asarray(wav[0], np.float32)
-        return (wav * self.config.vocoder.max_wav_value).astype(np.int16)
+        return np.asarray(self._cast_i16(wav)[0])
 
 
 class TTSKing:
@@ -382,10 +402,10 @@ class TTSKing:
         n = int(np.asarray(mel_lens)[0])
         mel = np.asarray(mel)[:1, :max(n, 1)]
         halo = generator_receptive_field(self.cfg.vocoder)
-        scale = self.cfg.vocoder.max_wav_value
-        for chunk in stream_vocoder(self.vocoder._apply,
+        # int16-returning window program: scale+cast stays on device
+        for chunk in stream_vocoder(self.vocoder._apply_i16,
                                     self.vocoder.variables, mel,
                                     chunk_frames=chunk_frames,
                                     halo_frames=halo,
                                     hop=self.cfg.preprocess.stft.hop_length):
-            yield (np.asarray(chunk, np.float32) * scale).astype(np.int16)
+            yield np.asarray(chunk)

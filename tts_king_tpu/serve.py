@@ -310,7 +310,8 @@ class SynthesisServer:
             mbs = [b for b in (mel_buckets or MEL_BUCKETS)
                    if b <= mel.shape[1]] or [mel.shape[1]]
             for T in mbs:
-                wav = self.king.vocoder(mel[:, :T])
+                # same int16 executable _vocode_batch dispatches
+                wav = self.king.vocoder.vocode_int16(mel[:, :T])
                 np.asarray(wav[:1, :1])              # force the compile
                 warmed_mels.add(T)
         self._prewarmed = {"batch_buckets": bsizes, "phone_buckets": pbs,
@@ -369,7 +370,6 @@ class SynthesisServer:
                                                 stream_vocoder)
 
         halo = generator_receptive_field(self.king.cfg.vocoder)
-        scale = self.king.cfg.vocoder.max_wav_value
         hop = self.king.cfg.preprocess.stft.hop_length
 
         # FS2 + speculative first vocoder window. Preferred: ONE fused
@@ -392,8 +392,11 @@ class SynthesisServer:
                 speaker_name=int(speaker), defer_overflow=True)
             bucket = out.get("mel_bucket", out["postnet_mel"].shape[1])
             win0 = None
-            if bucket >= chunk_frames + halo:
-                # speculative first window, chained device-side
+            if (bucket >= chunk_frames + halo
+                    and self.king.vocoder.kind != "MelGAN"):
+                # speculative first window, chained device-side (HiFi-GAN
+                # only: MelGAN needs the log10 mel prep, done host-side
+                # below after the fetch)
                 win0 = self._first_window(out["postnet_mel"], chunk_frames,
                                           halo)
         # ONE batched host fetch for everything the first yield needs:
@@ -430,18 +433,20 @@ class SynthesisServer:
             # it overlaps the consumer handling the first chunk.
             if hasattr(out["postnet_mel"], "copy_to_host_async"):
                 out["postnet_mel"].copy_to_host_async()
-            wav0 = np.asarray(win0_host, np.float32)[
+            # win0 is device-cast int16 (half the fetch bytes of float32)
+            yield np.asarray(win0_host)[
                 0, halo * hop : (halo + chunk_frames) * hop]
-            yield (wav0 * scale).astype(np.int16)
             start_frame = chunk_frames
 
         mel = np.asarray(out["postnet_mel"], np.float32)[:1, : max(n, 1)]
-        for chunk in stream_vocoder(self.king.vocoder._apply,
+        if self.king.vocoder.kind == "MelGAN":
+            mel = mel / np.log(10.0)
+        for chunk in stream_vocoder(self.king.vocoder._apply_i16,
                                     self.king.vocoder.variables, mel,
                                     chunk_frames=chunk_frames,
                                     halo_frames=halo, hop=hop,
                                     start_frame=start_frame):
-            yield (np.asarray(chunk, np.float32) * scale).astype(np.int16)
+            yield np.asarray(chunk)
 
     def _fused_stream_head(self, phonemes, speaker, controls,
                            chunk_frames: int, halo: int):
@@ -458,7 +463,8 @@ class SynthesisServer:
                                            _phone_pad)
 
         tts = self.king.tts
-        if getattr(tts, "mesh", None) is not None:
+        if (getattr(tts, "mesh", None) is not None
+                or self.king.vocoder.kind == "MelGAN"):
             return None
         phonemes = np.asarray(phonemes, np.int32)
         L = len(phonemes)
@@ -475,7 +481,7 @@ class SynthesisServer:
         fn = self._fused_head_fns.get(key)
         if fn is None:
             fs2_apply = tts._compiled(T)   # partial(model.apply, train=False)
-            voc_apply = self.king.vocoder._apply
+            voc_apply_i16 = self.king.vocoder._apply_i16
 
             @jax.jit
             def fn(fs2_vars, voc_vars, speakers, texts, src_lens,
@@ -487,7 +493,9 @@ class SynthesisServer:
                 left = jnp.repeat(mel[:1, :1], halo, axis=1)
                 window = jnp.concatenate(
                     [left, mel[:1, : chunk_frames + halo]], axis=1)
-                return out, voc_apply(voc_vars, window)
+                # window comes back int16 (in-graph scale+cast): the first
+                # yield's fetch moves half the bytes
+                return out, voc_apply_i16(voc_vars, window)
 
             self._fused_head_fns[key] = fn
 
@@ -508,14 +516,14 @@ class SynthesisServer:
         key = (chunk_frames, halo)
         fn = self._first_window_fns.get(key)
         if fn is None:
-            apply = self.king.vocoder._apply
+            apply_i16 = self.king.vocoder._apply_i16
 
             @jax.jit
             def fn(variables, mel):
                 left = jnp.repeat(mel[:1, :1], halo, axis=1)
                 window = jnp.concatenate(
                     [left, mel[:1, : chunk_frames + halo]], axis=1)
-                return apply(variables, window)
+                return apply_i16(variables, window)
 
             self._first_window_fns[key] = fn
         return fn(self.king.vocoder.variables, mel_dev)
@@ -839,14 +847,14 @@ class SynthesisServer:
             mel = mel[:, :tight]      # device-side slice, stays async
         if not self.return_wav:
             return mel, mel_lens
-        return self.king.vocoder(mel), mel_lens
+        # int16 on device: halves the fetch bytes in _complete_batch
+        return self.king.vocoder.vocode_int16(mel), mel_lens
 
     def _complete_batch(self, reqs, handles):
         dev, mel_lens = handles
         if self.return_wav:
             hop = self.king.cfg.preprocess.stft.hop_length
-            scale = self.king.cfg.vocoder.max_wav_value
-            wav = (np.asarray(dev, np.float32) * scale).astype(np.int16)
+            wav = np.asarray(dev)
             for i, req in enumerate(reqs):
                 req.future.set_result(wav[i, : mel_lens[i] * hop])
         else:
