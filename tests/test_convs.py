@@ -89,6 +89,27 @@ def test_conv_transpose1d_matches_torch(golden):
                                    err_msg=f"conv_transpose1d case {key}")
 
 
+def test_conv_transpose1d_polyphase_matches_dilated():
+    """The zero-free polyphase form must equal the base-dilated identity
+    for every (k, stride, pad) shape class, including k not a multiple of
+    stride and stride > k (no torch oracle needed: conv_transpose1d_dilated
+    is itself oracle-verified above)."""
+    from tts_king_tpu.ops.convs import conv_transpose1d_dilated
+
+    rng = np.random.RandomState(1)
+    for k, s, p in [(16, 8, 4), (4, 2, 1), (5, 3, 2), (7, 4, 0), (3, 2, 1),
+                    (2, 5, 0), (9, 3, 3), (6, 4, 2), (1, 2, 0)]:
+        B, T, Cin, Cout = 2, 23, 5, 3
+        x = rng.randn(B, T, Cin).astype(np.float32)
+        w = rng.randn(k, Cin, Cout).astype(np.float32)
+        b = rng.randn(Cout).astype(np.float32)
+        want = np.array(conv_transpose1d_dilated(x, w, b, s, p))
+        got = np.array(conv_transpose1d(x, w, b, s, p))
+        assert got.shape == want.shape, (k, s, p, got.shape, want.shape)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5,
+                                   err_msg=f"polyphase k={k} s={s} p={p}")
+
+
 def test_adaptive_avg_pool_matches_torch(golden):
     cases, want = golden["pool"]
     for key, (x, size) in cases.items():
