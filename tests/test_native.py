@@ -74,6 +74,32 @@ def test_npy_batch_loader(lib, tmp_path):
     assert np.all(batch[0, 37:] == 0)
 
 
+def test_npy_loader_fortran_order(lib, tmp_path):
+    """np.save writes fortran_order=True for F-contiguous arrays (np.asarray
+    of a device array can come back that way — seen in production on
+    cwt-pitch features); the native loader must match np.load, not reject
+    them."""
+    rng = np.random.RandomState(1)
+    c_arr = rng.randn(27, 11).astype(np.float32)
+    f_arr = np.asfortranarray(c_arr)
+    assert f_arr.flags.f_contiguous and not f_arr.flags.c_contiguous
+    p_c, p_f = tmp_path / "c.npy", tmp_path / "f.npy"
+    np.save(p_c, c_arr)
+    np.save(p_f, f_arr)
+    with open(p_f, "rb") as fh:
+        assert b"'fortran_order': True" in fh.read(80)
+
+    batch, lengths = native.load_npy_batch([str(p_c), str(p_f)],
+                                           max_rows=40, cols=11)
+    assert lengths.tolist() == [27, 27]
+    np.testing.assert_array_equal(batch[0], batch[1])
+    np.testing.assert_allclose(batch[1, :27], c_arr, rtol=1e-6)
+    # row/col truncation against an F-order payload
+    batch2, lengths2 = native.load_npy_batch([str(p_f)], max_rows=20, cols=7)
+    assert lengths2.tolist() == [20]
+    np.testing.assert_allclose(batch2[0], c_arr[:20, :7], rtol=1e-6)
+
+
 def test_npy_loader_missing_file(lib, tmp_path):
     batch, lengths = native.load_npy_batch([str(tmp_path / "nope.npy")],
                                            max_rows=4, cols=4)

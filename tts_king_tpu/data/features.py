@@ -241,11 +241,15 @@ class Preprocessor:
         # it after phoneme averaging (preprocessor.py:224-266).
         np.save(self._path("pitch", base, "frame-pitch"),
                 f0.astype(np.float32))
-        np.save(self._path("pitch", base, "cwt-pitch"), cwt_pitch)
+        # ascontiguousarray: np.asarray of a device array can come back
+        # F-contiguous (lazy-transpose layout), which np.save would record
+        # as fortran_order — keep on-disk features uniformly C-order.
+        np.save(self._path("pitch", base, "cwt-pitch"),
+                np.ascontiguousarray(cwt_pitch))
         np.save(self._path("pitch", base, "pitch-mean"), pitch_mean)
         np.save(self._path("pitch", base, "pitch-std"), pitch_std)
-        np.save(self._path("energy", base), energy)
-        np.save(self._path("mel", base), mel)
+        np.save(self._path("energy", base), np.ascontiguousarray(energy))
+        np.save(self._path("mel", base), np.ascontiguousarray(mel))
         return ("|".join([p.basename, p.speaker, text, p.raw_text]),
                 remove_outlier(pitch), remove_outlier(energy), mel.shape[0])
 

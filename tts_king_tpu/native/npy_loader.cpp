@@ -23,6 +23,8 @@ namespace {
 struct Header {
   char dtype;     // 'f' float32, 'd' float64, 'q' int64, 'i' int32
   int rank;
+  bool fortran;   // column-major payload (np.save writes it for
+                  // F-contiguous arrays; np.load accepts both, so we must)
   long shape[2];
   long payload_offset;
 };
@@ -59,7 +61,7 @@ bool parse_header(FILE* f, Header* h) {
   else if (descr == "<i4") h->dtype = 'i';
   else return false;
 
-  if (hdr.find("'fortran_order': True") != std::string::npos) return false;
+  h->fortran = hdr.find("'fortran_order': True") != std::string::npos;
 
   size_t sp = find("'shape'");
   if (sp == std::string::npos) return false;
@@ -98,6 +100,32 @@ long load_one(const char* path, float* dst, long max_rows, long cols) {
 
   const long src_width = h.rank == 2 ? h.shape[1] : 1;
   const int esize = (h.dtype == 'f' || h.dtype == 'i') ? 4 : 8;
+
+  auto elem = [&](const unsigned char* p, long i) -> float {
+    switch (h.dtype) {
+      case 'f': return ((const float*)p)[i];
+      case 'd': return (float)((const double*)p)[i];
+      case 'q': return (float)((const int64_t*)p)[i];
+      default:  return (float)((const int32_t*)p)[i];
+    }
+  };
+
+  if (h.fortran && h.rank == 2 && src_width > 1) {
+    // Column-major payload: element (r, c) lives at c*shape[0] + r, so the
+    // whole payload is read and gathered (feature files are small).
+    const long src_rows = h.shape[0];
+    std::vector<unsigned char> buf((size_t)src_rows * src_width * esize);
+    if (fread(buf.data(), 1, buf.size(), f) != buf.size()) {
+      fclose(f);
+      return -1;
+    }
+    for (long r = 0; r < rows; ++r)
+      for (long c = 0; c < width; ++c)
+        dst[r * cols + c] = elem(buf.data(), c * src_rows + r);
+    fclose(f);
+    return rows;
+  }
+
   std::vector<unsigned char> rowbuf((size_t)src_width * esize);
   for (long r = 0; r < rows; ++r) {
     if (fread(rowbuf.data(), 1, rowbuf.size(), f) != rowbuf.size()) {
@@ -105,14 +133,7 @@ long load_one(const char* path, float* dst, long max_rows, long cols) {
       return -1;
     }
     float* out = dst + r * cols;
-    for (long c = 0; c < width; ++c) {
-      switch (h.dtype) {
-        case 'f': out[c] = ((const float*)rowbuf.data())[c]; break;
-        case 'd': out[c] = (float)((const double*)rowbuf.data())[c]; break;
-        case 'q': out[c] = (float)((const int64_t*)rowbuf.data())[c]; break;
-        case 'i': out[c] = (float)((const int32_t*)rowbuf.data())[c]; break;
-      }
-    }
+    for (long c = 0; c < width; ++c) out[c] = elem(rowbuf.data(), c);
   }
   fclose(f);
   return rows;
