@@ -90,11 +90,11 @@ def test_conv_transpose1d_matches_torch(golden):
 
 
 def test_conv_transpose1d_polyphase_matches_dilated():
-    """The zero-free polyphase form must equal the base-dilated identity
-    for every (k, stride, pad) shape class, including k not a multiple of
-    stride and stride > k (no torch oracle needed: conv_transpose1d_dilated
-    is itself oracle-verified above)."""
-    from tts_king_tpu.ops.convs import conv_transpose1d_dilated
+    """The zero-free polyphase formulation must equal the base-dilated
+    identity for every (k, stride, pad) shape class, including k not a
+    multiple of stride and stride > k (no torch oracle needed:
+    conv_transpose1d is itself oracle-verified above)."""
+    from tts_king_tpu.ops.convs import conv_transpose1d_poly
 
     rng = np.random.RandomState(1)
     for k, s, p in [(16, 8, 4), (4, 2, 1), (5, 3, 2), (7, 4, 0), (3, 2, 1),
@@ -103,8 +103,8 @@ def test_conv_transpose1d_polyphase_matches_dilated():
         x = rng.randn(B, T, Cin).astype(np.float32)
         w = rng.randn(k, Cin, Cout).astype(np.float32)
         b = rng.randn(Cout).astype(np.float32)
-        want = np.array(conv_transpose1d_dilated(x, w, b, s, p))
-        got = np.array(conv_transpose1d(x, w, b, s, p))
+        want = np.array(conv_transpose1d(x, w, b, s, p))
+        got = np.array(conv_transpose1d_poly(x, w, b, s, p))
         assert got.shape == want.shape, (k, s, p, got.shape, want.shape)
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5,
                                    err_msg=f"polyphase k={k} s={s} p={p}")

@@ -30,7 +30,7 @@ def conv1d(x, kernel, bias=None, stride=1, padding=0, dilation=1, groups=1):
     return out
 
 
-def conv_transpose1d_dilated(x, kernel, bias=None, stride=1, padding=0):
+def conv_transpose1d(x, kernel, bias=None, stride=1, padding=0):
     """Exact torch ConvTranspose1d: y[t] = sum_j x[u] K[j], t = u*stride + j - padding.
 
     x: (B, T, Cin); kernel: (k, Cin, Cout) in torch orientation (i.e. K[j]
@@ -38,9 +38,12 @@ def conv_transpose1d_dilated(x, kernel, bias=None, stride=1, padding=0):
     weight[cin, cout, j]). Output length: (T-1)*stride - 2*padding + k.
 
     Implemented as a base-dilated convolution with a spatially flipped
-    kernel — the standard transposed-convolution identity. The inserted
-    zeros make the contraction stride*x wider than the useful work; see
-    conv_transpose1d for the zero-free polyphase form.
+    kernel — the standard transposed-convolution identity. On TPU this is
+    also the FAST form: XLA executes lhs_dilation at ~full MXU rate
+    (measured 178-194 TF/s useful on the HiFi-GAN k=16/s=8 upsample
+    shapes, i.e. the inserted zeros cost nothing), while the "zero-free"
+    polyphase form below loses 2.5-4x to its phase-interleave relayout —
+    see DESIGN.md 3.8.
     """
     k = kernel.shape[0]
     out = lax.conv_general_dilated(
@@ -56,7 +59,7 @@ def conv_transpose1d_dilated(x, kernel, bias=None, stride=1, padding=0):
     return out
 
 
-def conv_transpose1d(x, kernel, bias=None, stride=1, padding=0):
+def conv_transpose1d_poly(x, kernel, bias=None, stride=1, padding=0):
     """torch ConvTranspose1d via polyphase decomposition (zero-free FLOPs).
 
     Output phase t mod stride only ever reads kernel taps j with
@@ -64,13 +67,17 @@ def conv_transpose1d(x, kernel, bias=None, stride=1, padding=0):
     `stride` independent dense sub-convolutions of ceil(k/s) taps each —
     computed here as ONE conv producing phase-major channels (n_taps, Cin)
     x (s*Cout), then interleaved back into time by reshape. Identical math
-    to conv_transpose1d_dilated (summation order aside) with none of the
-    inserted-zero FLOPs lhs_dilation pays (8x on HiFi-GAN's k=16/s=8
-    upsample layers, hifi/models.py:146-201), and a denser MXU shape
-    (K = n_taps*Cin, N = s*Cout vs strided windows over zeros).
+    to conv_transpose1d (summation order aside) with none of the
+    inserted-zero FLOPs lhs_dilation *nominally* pays.
+
+    Measured SLOWER than the base-dilated form on TPU v5e-lite (0.41x /
+    0.25x on the HiFi-GAN x8 upsample shapes): the TPU executes base
+    dilation at ~full MXU rate already, and the phase-interleave reshape
+    here is a physical lane relayout. Kept as a verified reference
+    formulation for parts where that trade-off may differ — DESIGN.md 3.8.
     """
     if stride == 1:
-        return conv_transpose1d_dilated(x, kernel, bias, stride, padding)
+        return conv_transpose1d(x, kernel, bias, stride, padding)
     k, cin, cout = kernel.shape
     s = stride
     T = x.shape[1]
