@@ -10,6 +10,8 @@ as {"metric", "value", "unit", "vs_baseline"}.
   3. end-to-end batched multi-speaker synthesis (headline)
   4. feature extraction (mel + F0 + energy) throughput
   5. FS2 training step, single chip
+plus extra rows: int8 vocoder, HiFi-GAN GAN training step, streaming TTFA,
+and production-serving TTFA.
 
 The reference publishes no speed numbers (BASELINE.json `published: {}`);
 vs_baseline compares against the north-star target RTF 0.01/chip where RTF
@@ -312,6 +314,66 @@ def bench_train_step(cfg, fs2, fs2_vars):
     return out
 
 
+def bench_vocoder_train_step(cfg):
+    """HiFi-GAN GAN training step (G + MPD + MSD fwd/bwd, both optimizer
+    updates) at the upstream recipe's shapes: batch 16 x 8192-sample
+    segments (hifi config.yaml:18,23). Sustained via scan differencing,
+    like the FS2 row."""
+    import jax
+    import jax.numpy as jnp
+
+    from tts_king_tpu.train.vocoder import VocoderTrainer
+
+    vcfg = cfg.vocoder
+    B = 16
+    seg_frames = vcfg.segment_size // vcfg.hop_size
+    trainer = VocoderTrainer(vcfg)
+    state = trainer.init_state(jax.random.PRNGKey(0), seg_frames)
+    ts = trainer.make_train_step()
+
+    rng = np.random.RandomState(6)
+    batch = jax.device_put(dict(
+        mel=rng.randn(B, seg_frames, vcfg.num_mels).astype(np.float32),
+        wav=(rng.randn(B, vcfg.segment_size) * 0.1).astype(np.float32),
+        mel_loss=rng.randn(B, seg_frames, vcfg.num_mels).astype(np.float32),
+    ))
+
+    def steps_fn(k):
+        @jax.jit
+        def run(st, b):
+            def body(carry, _):
+                st, _ = carry
+                st, losses = ts(st, b)
+                return (st, losses.gen), None
+            (st, tot), _ = jax.lax.scan(body, (st, jnp.float32(0)),
+                                        None, length=k)
+            return tot
+        return run
+
+    ka, kb = 1, 5
+    fa, fb = steps_fn(ka), steps_fn(kb)
+    float(fa(state, batch))
+    float(fb(state, batch))
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(fa(state, batch))
+        ta = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(fb(state, batch))
+        tb = time.perf_counter() - t0
+        per = (tb - ta) / (kb - ka)
+        best = per if best is None else min(best, per)
+    sec = best
+
+    out = {"metric": "hifigan_train_step", "value": round(sec * 1e3, 1),
+           "unit": "ms_per_step_bs16_seg8192_sustained", "vs_baseline": None}
+    # The K=1 scan body runs exactly once, so its cost analysis IS one step.
+    flops = _cost_flops(fa, state, batch)
+    out.update(_mfu_fields(flops, sec))
+    return out
+
+
 def bench_streaming_latency(cfg, fs2, fs2_vars, voc, voc_vars):
     """Time-to-first-audio for streaming synthesis of one sentence: FS2
     forward + the first halo'd vocoder window (ops/streaming.py)."""
@@ -395,6 +457,7 @@ def main():
             headline,
             bench_features(cfg),
             bench_train_step(cfg, fs2, fs2_vars),
+            bench_vocoder_train_step(cfg),
             bench_streaming_latency(cfg, fs2, fs2_vars, voc, voc_vars),
             bench_serving_ttfa(cfg),
         ]
