@@ -35,9 +35,21 @@ def _np(t):
 
 
 def load_torch_checkpoint(path: str) -> Dict[str, Any]:
-    import torch
+    """Load a torch ``.pth.tar``/``.pth`` checkpoint as numpy trees.
 
-    return torch.load(path, map_location="cpu", weights_only=False)
+    Prefers the in-tree torch-free zip+pickle reader (pth_reader.py) — TPU
+    hosts rarely have torch, and importing torch into a jax process is
+    hazardous in this environment (OpenMP runtime conflict). Falls back to
+    ``torch.load`` only for layouts the restricted reader refuses
+    (pre-1.6 legacy format, pickled custom classes)."""
+    from tts_king_tpu.pth_reader import load_pth
+
+    try:
+        return load_pth(path)
+    except Exception:
+        import torch
+
+        return torch.load(path, map_location="cpu", weights_only=False)
 
 
 def _linear(state, key):
