@@ -3,6 +3,10 @@ smoke tests (each prints 'done' on success). Executed in a clean
 subprocess on the CPU backend with the repo's persistent compile cache,
 exactly how a user on a TPU-less box would run them."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import os
 import subprocess
 import sys

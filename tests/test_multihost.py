@@ -11,6 +11,10 @@ loss match vs the single-process dryrun), in a subprocess so the in-suite
 jax runtime is untouched.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import json
 import os
 import subprocess

@@ -5,6 +5,8 @@ import os
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 from scipy.io import wavfile
 
 from tests.test_vocoder_training import _tiny_cfg
