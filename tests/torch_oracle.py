@@ -153,6 +153,20 @@ def job_reference_fs2(data):
         model.postnet = RefPostNet(80, int(data["postnet_dim"]), 5, 5)
     model.eval()
 
+    det_spec = None
+    if "det_weights" in data.files:
+        # Full-size fixtures: overwrite every param/BN-stat with values both
+        # sides regenerate from (name, shape) — see tests/det_weights.py.
+        # Sinusoid tables and stats.json-derived bucketize bins keep their
+        # computed values (the jax side computes its own).
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from det_weights import apply_det_weights_torch
+
+        with torch.no_grad():
+            det_spec = apply_det_weights_torch(
+                model, seed=int(data["det_weights"]),
+                skip=("position_enc", "pitch_bins", "energy_bins"))
+
     speakers = torch.from_numpy(data["speakers"]).long()
     texts = torch.from_numpy(data["texts"]).long()
     src_lens = torch.from_numpy(data["src_lens"]).long()
@@ -188,10 +202,15 @@ def job_reference_fs2(data):
         "mel_lens": mel_lens_o.numpy().astype(np.int64),
         "postnet_mel": postnet_mel.numpy(),
     }
-    # Dump the state dict in reference .pth.tar layout for the converter.
-    state = model.state_dict()
-    for k, v in state.items():
-        out["state__" + k] = v.numpy()
+    if det_spec is not None:
+        # det mode: record names+shapes only (values regenerate on load).
+        for name, shape in det_spec:
+            out["shape__" + name] = np.asarray(shape, np.int64)
+    else:
+        # Dump the state dict in reference .pth.tar layout for the converter.
+        state = model.state_dict()
+        for k, v in state.items():
+            out["state__" + k] = v.numpy()
     return out
 
 
@@ -219,7 +238,18 @@ def job_reference_hifigan(data):
     )
     model = Generator(h)
     model.eval()
-    state = {k: v.numpy().copy() for k, v in model.state_dict().items()}
+
+    det_spec = None
+    if "det_weights" in data.files:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from det_weights import apply_det_weights_torch
+
+        with torch.no_grad():
+            det_spec = apply_det_weights_torch(
+                model, seed=int(data["det_weights"]))
+        state = None
+    else:
+        state = {k: v.numpy().copy() for k, v in model.state_dict().items()}
 
     mel = torch.from_numpy(data["mel"]).float()  # (B, 80, T)
     with torch.no_grad():
@@ -227,8 +257,12 @@ def job_reference_hifigan(data):
             model.remove_weight_norm()
         wav = model(mel)
     out = {"wav": wav.numpy()}
-    for k, v in state.items():
-        out["state__" + k] = v
+    if det_spec is not None:
+        for name, shape in det_spec:
+            out["shape__" + name] = np.asarray(shape, np.int64)
+    else:
+        for k, v in state.items():
+            out["state__" + k] = v
     return out
 
 
