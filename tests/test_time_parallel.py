@@ -19,6 +19,8 @@ def _small_voc_config():
                               resblock_dilation_sizes=[[1, 3], [1, 3]])
 
 
+@pytest.mark.slow  # ~18 min on the 1-core CPU box (full-size halo config);
+# the melgan variant below keeps ppermute-halo equality in the fast tier
 def test_time_sharded_matches_full_pass():
     import jax
     import jax.numpy as jnp

@@ -266,6 +266,72 @@ def job_reference_hifigan(data):
     return out
 
 
+def job_reference_discriminators(data):
+    """Reference MultiPeriodDiscriminator + MultiScaleDiscriminator forward
+    (hifi/models.py:213-374) with det weights (tests/det_weights.py),
+    including the spectral-normed first MSD scale. Records per-scale logits,
+    per-fmap abs-means (full fmaps would be tens of MB), the post-forward
+    spectral u/v buffers (torch power-iterates once per forward call in
+    train mode), and the torch-layout name/shape spec; also torch.saves the
+    upstream ``do_*`` checkpoint layout when 'do_out' is given."""
+    import torch
+
+    _load_reference()
+    from hifi.models import MultiPeriodDiscriminator, MultiScaleDiscriminator
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from det_weights import apply_det_weights_torch
+
+    torch.manual_seed(int(data["seed"]))
+    mpd = MultiPeriodDiscriminator()
+    msd = MultiScaleDiscriminator()
+    with torch.no_grad():
+        spec_mpd = apply_det_weights_torch(mpd, seed=int(data["det_weights"]))
+        spec_msd = apply_det_weights_torch(msd, seed=int(data["det_weights"]))
+
+    train_mode = "train_mode" in data.files and bool(data["train_mode"])
+    (mpd.train() if train_mode else mpd.eval())
+    (msd.train() if train_mode else msd.eval())
+
+    y = torch.from_numpy(data["y"]).float()[:, None, :]       # (B, 1, T)
+    y_hat = torch.from_numpy(data["y_hat"]).float()[:, None, :]
+    if not train_mode:
+        # Settle the spectral u/v one power iteration first: with the
+        # det-random (unconverged) buffers, sigma = u^T W v is near zero
+        # and weights blow up — a regime real checkpoints never hit.
+        msd.train()
+        with torch.no_grad():
+            msd(y, y_hat)
+        msd.eval()
+    with torch.no_grad():
+        p_rs, p_gs, p_fr, p_fg = mpd(y, y_hat)
+        s_rs, s_gs, s_fr, s_fg = msd(y, y_hat)
+
+    out = {}
+    for tag, tensors in (("mpd_r", p_rs), ("mpd_g", p_gs),
+                         ("msd_r", s_rs), ("msd_g", s_gs)):
+        for i, t in enumerate(tensors):
+            out[f"{tag}_{i}"] = t.numpy()
+    for tag, fmaps in (("mpd_fr", p_fr), ("mpd_fg", p_fg),
+                       ("msd_fr", s_fr), ("msd_fg", s_fg)):
+        out[tag + "_absmean"] = np.array(
+            [[float(f.abs().mean()) for f in fm] for fm in fmaps],
+            np.float64)
+    # post-forward spectral buffers of MSD scale 1
+    for name, buf in msd.state_dict().items():
+        if name.startswith("discriminators.0.") and (
+                name.endswith("weight_u") or name.endswith("weight_v")):
+            out["post__" + name] = buf.numpy().copy()
+    for name, shape in spec_mpd:
+        out["mpd_shape__" + name] = np.asarray(shape, np.int64)
+    for name, shape in spec_msd:
+        out["msd_shape__" + name] = np.asarray(shape, np.int64)
+    if "do_out" in data.files:
+        torch.save({"mpd": mpd.state_dict(), "msd": msd.state_dict()},
+                   str(data["do_out"]))
+    return out
+
+
 def job_save_reference_checkpoints(data):
     """Build reference-architecture torch models with random weights and
     torch.save them in the exact shipped checkpoint layouts: the FS2
@@ -501,6 +567,7 @@ JOBS = {
     "conv_transpose1d": job_conv_transpose1d,
     "adaptive_pool": job_adaptive_pool,
     "reference_fs2": job_reference_fs2,
+    "reference_discriminators": job_reference_discriminators,
     "save_reference_checkpoints": job_save_reference_checkpoints,
     "reference_hifigan": job_reference_hifigan,
     "melgan": job_melgan,

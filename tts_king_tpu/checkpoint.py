@@ -228,6 +228,69 @@ def convert_hifigan_generator(state: Dict[str, Any], n_ups=4, n_kernels=3,
     return {"params": jax.tree.map(jnp.asarray, params)}
 
 
+def _wn_conv(state, key):
+    """torch weight_norm conv -> WNConv params {v, g, bias}.
+
+    torch v (out, in, *k), g (out, 1, ...) -> flax v (*k, in, out), g (out,).
+    """
+    v = _np(state[key + ".weight_v"])
+    g = _np(state[key + ".weight_g"]).reshape(-1)
+    perm = (2, 1, 0) if v.ndim == 3 else (2, 3, 1, 0)
+    return {"v": np.ascontiguousarray(v.transpose(perm)), "g": g,
+            "bias": _np(state[key + ".bias"])}
+
+
+def _sn_conv(state, key):
+    """torch spectral_norm conv -> (SNConv params, spectral buffers)."""
+    w = _np(state[key + ".weight_orig"])
+    perm = (2, 1, 0) if w.ndim == 3 else (2, 3, 1, 0)
+    params = {"weight_orig": np.ascontiguousarray(w.transpose(perm)),
+              "bias": _np(state[key + ".bias"])}
+    spectral = {"u": _np(state[key + ".weight_u"]),
+                "v": _np(state[key + ".weight_v"])}
+    return params, spectral
+
+
+def convert_hifigan_discriminators(ckpt: Dict[str, Any],
+                                   periods=(2, 3, 5, 7, 11)):
+    """Upstream HiFi-GAN ``do_*`` discriminator checkpoint -> flax trees.
+
+    ``ckpt`` holds {"mpd": state_dict, "msd": state_dict} (upstream
+    hifi-gan train.py saves both next to the generator). Returns
+    (mpd_params, msd_params, msd_spectral) matching
+    models.hifigan.MultiPeriodDiscriminator / MultiScaleDiscriminator —
+    including the spectral-norm parametrization of MSD scale 1
+    (weight_orig + power-iteration u/v buffers, hifi/models.py:317,349).
+    """
+    mpd_state, msd_state = ckpt["mpd"], ckpt["msd"]
+
+    mpd_params: Dict[str, Any] = {}
+    for i, p in enumerate(periods):
+        d: Dict[str, Any] = {}
+        for j in range(5):
+            d[f"convs_{j}"] = _wn_conv(mpd_state, f"discriminators.{i}.convs.{j}")
+        d["conv_post"] = _wn_conv(mpd_state, f"discriminators.{i}.conv_post")
+        mpd_params[f"disc_p{p}"] = d
+
+    msd_params: Dict[str, Any] = {}
+    msd_spectral: Dict[str, Any] = {}
+    for i in range(3):
+        d, sp = {}, {}
+        for name in [f"convs.{j}" for j in range(7)] + ["conv_post"]:
+            flax_name = name.replace("convs.", "convs_")
+            key = f"discriminators.{i}.{name}"
+            if i == 0:
+                d[flax_name], sp[flax_name] = _sn_conv(msd_state, key)
+            else:
+                d[flax_name] = _wn_conv(msd_state, key)
+        msd_params[f"disc_s{i}"] = d
+        if sp:
+            msd_spectral[f"disc_s{i}"] = sp
+
+    as_jnp = lambda tree: jax.tree.map(jnp.asarray, tree)
+    return as_jnp(mpd_params), as_jnp(msd_params), as_jnp(msd_spectral)
+
+
 def convert_hifigan_checkpoint(path: str, **kw):
     """Reference HiFi-GAN checkpoint ({"generator": ...}) -> flax params."""
     ckpt = load_torch_checkpoint(path)

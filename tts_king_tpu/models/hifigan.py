@@ -305,6 +305,79 @@ class WNConv(nn.Module):
         return out + bias
 
 
+class SNConv(nn.Module):
+    """flax conv (1D or 2D by kernel tuple) with torch spectral_norm(dim=0)
+    parametrization (n_power_iterations=1, eps=1e-12).
+
+    The reference builds its first (full-resolution) MSD scale with spectral
+    norm (hifi/models.py:317 ``norm_f = ... spectral_norm``, :349
+    ``DiscriminatorS(use_spectral_norm=True)``) — a Lipschitz-style stability
+    mechanism on the one discriminator that sees raw 22 kHz samples.
+
+    torch semantics reproduced exactly:
+      * weight matrix = weight.reshape(out, -1) (dim=0 first);
+      * power-iteration buffers u (out,) and v (fan_in,) live in the
+        ``spectral`` variable collection (buffers, not optimizer params);
+      * training forward (``update=True``, collection mutable) runs ONE
+        iteration v <- normalize(W^T u), u <- normalize(W v) under
+        stop_gradient, then sigma = u^T W v (differentiable in W);
+      * eval forward uses the stored u, v unchanged.
+    """
+
+    features: int
+    kernel_size: Tuple[int, ...]
+    strides: Tuple[int, ...] = None
+    padding: Any = 0
+    feature_group_count: int = 1
+
+    @nn.compact
+    def __call__(self, x, update: bool = False):
+        kshape = tuple(self.kernel_size) + (
+            x.shape[-1] // self.feature_group_count, self.features)
+        w = self.param("weight_orig", nn.initializers.lecun_normal(), kshape)
+        # torch layout (out, in, *k) flattened row-major -> from flax
+        # (*k, in, out): move out first, keep (in, *k) order for the rest.
+        perm = (w.ndim - 1,) + tuple(range(w.ndim - 2, -1, -1))
+        mat = w.transpose(perm).reshape(self.features, -1)
+        fan_in = mat.shape[1]
+
+        def unit(key, shape, dtype=jnp.float32):
+            n = jax.random.normal(key, shape, dtype)
+            return n / jnp.linalg.norm(n)
+
+        u_var = self.variable("spectral", "u", unit,
+                              self.make_rng("params") if
+                              self.is_initializing() else None,
+                              (self.features,))
+        v_var = self.variable("spectral", "v", unit,
+                              self.make_rng("params") if
+                              self.is_initializing() else None, (fan_in,))
+        u, v = u_var.value, v_var.value
+        if update and not self.is_initializing():
+            eps = 1e-12
+            m = jax.lax.stop_gradient(mat)
+            v = m.T @ u
+            v = v / jnp.maximum(jnp.linalg.norm(v), eps)
+            u = m @ v
+            u = u / jnp.maximum(jnp.linalg.norm(u), eps)
+            u_var.value, v_var.value = u, v
+        sigma = u @ (mat @ v)
+        kernel = w / sigma
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, kernel.shape,
+            ("NHC", "HIO", "NHC") if len(self.kernel_size) == 1
+            else ("NHWC", "HWIO", "NHWC"))
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = [(pad, pad)] * len(self.kernel_size)
+        out = jax.lax.conv_general_dilated(
+            x, kernel, self.strides or (1,) * len(self.kernel_size), pad,
+            dimension_numbers=dn,
+            feature_group_count=self.feature_group_count)
+        return out + bias
+
+
 class DiscriminatorP(nn.Module):
     """Period discriminator (hifi/models.py:213-282)."""
 
@@ -340,12 +413,15 @@ class DiscriminatorP(nn.Module):
 
 
 class DiscriminatorS(nn.Module):
-    """Scale discriminator (hifi/models.py:314-341)."""
+    """Scale discriminator (hifi/models.py:313-340). The first MSD scale is
+    built with spectral norm on every conv, the pooled scales with weight
+    norm (hifi/models.py:317,349)."""
 
     width: int = 1  # divides every channel count (for small test configs)
+    use_spectral_norm: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, update_sn: bool = False):
         # x: (B, T) waveform -> (B, T, 1).
         h = x[:, :, None]
         w = self.width
@@ -355,6 +431,14 @@ class DiscriminatorS(nn.Module):
             (1024 // w, 41, 4, 16, 20), (1024 // w, 41, 1, 16, 20),
             (1024 // w, 5, 1, 1, 2),
         ]
+
+        def norm_f(ch, k, s, g, p, name):
+            kw = dict(strides=(s,) if s else None, padding=p,
+                      feature_group_count=g, name=name)
+            if self.use_spectral_norm:
+                return lambda t: SNConv(ch, (k,), **kw)(t, update=update_sn)
+            return WNConv(ch, (k,), **kw)
+
         fmap = []
         for i, (ch, k, s, g, p) in enumerate(specs):
             # group count must divide both in and out channels (relevant only
@@ -362,11 +446,10 @@ class DiscriminatorS(nn.Module):
             import math
 
             g = math.gcd(g, math.gcd(int(h.shape[-1]), ch))
-            h = WNConv(ch, (k,), strides=(s,), padding=[(p, p)],
-                       feature_group_count=g, name=f"convs_{i}")(h)
+            h = norm_f(ch, k, s, g, [(p, p)], f"convs_{i}")(h)
             h = nn.leaky_relu(h, LRELU_SLOPE)
             fmap.append(h)
-        h = WNConv(1, (3,), padding=[(1, 1)], name="conv_post")(h)
+        h = norm_f(1, 3, 0, 1, [(1, 1)], "conv_post")(h)
         fmap.append(h)
         return h.reshape(h.shape[0], -1), fmap
 
@@ -387,19 +470,25 @@ class MultiPeriodDiscriminator(nn.Module):
 
 
 class MultiScaleDiscriminator(nn.Module):
+    """Scale 1 spectral-normed, scales 2-3 weight-normed with avg-pool
+    pyramid (hifi/models.py:343-374)."""
+
     n_scales: int = 3
     width: int = 1
 
     @nn.compact
-    def __call__(self, y, y_hat):
+    def __call__(self, y, y_hat, update_sn: bool = False):
         rs, gs, fr, fg = [], [], [], []
         for i in range(self.n_scales):
             if i:
                 y = _avg_pool1d(y, 4, 2, 2)
                 y_hat = _avg_pool1d(y_hat, 4, 2, 2)
-            d = DiscriminatorS(width=self.width, name=f"disc_s{i}")
-            r, fmap_r = d(y)
-            g, fmap_g = d(y_hat)
+            d = DiscriminatorS(width=self.width, use_spectral_norm=(i == 0),
+                               name=f"disc_s{i}")
+            # torch power-iterates once per forward CALL: d(y) then d(y_hat)
+            # both update the buffers sequentially (train_step order).
+            r, fmap_r = d(y, update_sn=update_sn)
+            g, fmap_g = d(y_hat, update_sn=update_sn)
             rs.append(r); fr.append(fmap_r); gs.append(g); fg.append(fmap_g)
         return rs, gs, fr, fg
 

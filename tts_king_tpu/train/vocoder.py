@@ -36,6 +36,9 @@ class VocoderTrainState(struct.PyTreeNode):
     gen_params: Any
     mpd_params: Any
     msd_params: Any
+    # spectral-norm power-iteration buffers (u, v per conv of MSD scale 1);
+    # updated in-forward like torch buffers, not by the optimizer.
+    msd_spectral: Any
     gen_opt: Any
     disc_opt: Any
 
@@ -75,12 +78,13 @@ class VocoderTrainer:
         wav = jnp.zeros((1, segment_frames * cfg.hop_size))
         gen_params = self.gen.init(r1, mel)["params"]
         mpd_params = self.mpd.init(r2, wav, wav)["params"]
-        msd_params = self.msd.init(r3, wav, wav)["params"]
+        msd_vars = self.msd.init(r3, wav, wav)
+        msd_params = msd_vars["params"]
         disc_params = {"mpd": mpd_params, "msd": msd_params}
         return VocoderTrainState(
             step=jnp.asarray(0, jnp.int32),
             gen_params=gen_params, mpd_params=mpd_params,
-            msd_params=msd_params,
+            msd_params=msd_params, msd_spectral=msd_vars["spectral"],
             gen_opt=self.gen_tx.init(gen_params),
             disc_opt=self.disc_tx.init(disc_params))
 
@@ -101,13 +105,18 @@ class VocoderTrainer:
                 r_p, g_p, _, _ = mpd.apply({"params": dparams["mpd"]}, wav,
                                            y_hat_sg)
                 loss_p, _, _ = discriminator_loss(r_p, g_p)
-                r_s, g_s, _, _ = msd.apply({"params": dparams["msd"]}, wav,
-                                           y_hat_sg)
+                # spectral-norm power iteration runs in-forward (torch
+                # buffer semantics); the updated u,v thread to the gen pass
+                (r_s, g_s, _, _), sp = msd.apply(
+                    {"params": dparams["msd"],
+                     "spectral": state.msd_spectral}, wav, y_hat_sg,
+                    update_sn=True, mutable=["spectral"])
                 loss_s, _, _ = discriminator_loss(r_s, g_s)
-                return loss_p + loss_s
+                return loss_p + loss_s, sp["spectral"]
 
             disc_params = {"mpd": state.mpd_params, "msd": state.msd_params}
-            d_loss, d_grads = jax.value_and_grad(disc_loss_fn)(disc_params)
+            (d_loss, spectral), d_grads = jax.value_and_grad(
+                disc_loss_fn, has_aux=True)(disc_params)
             d_updates, disc_opt = disc_tx.update(d_grads, state.disc_opt,
                                                  disc_params)
             disc_params = optax.apply_updates(disc_params, d_updates)
@@ -122,16 +131,18 @@ class VocoderTrainer:
                 l_mel = jnp.mean(jnp.abs(mel_g - mel_loss_target)) * MEL_LOSS_WEIGHT
                 _, g_p, f_rp, f_gp = mpd.apply(
                     {"params": disc_params["mpd"]}, wav, y_g)
-                _, g_s, f_rs, f_gs = msd.apply(
-                    {"params": disc_params["msd"]}, wav, y_g)
+                (_, g_s, f_rs, f_gs), sp = msd.apply(
+                    {"params": disc_params["msd"], "spectral": spectral},
+                    wav, y_g, update_sn=True, mutable=["spectral"])
                 l_fm = feature_loss(f_rp, f_gp) + feature_loss(f_rs, f_gs)
                 adv_p, _ = generator_loss(g_p)
                 adv_s, _ = generator_loss(g_s)
                 total = adv_p + adv_s + l_fm + l_mel
-                return total, (l_mel, l_fm, adv_p + adv_s)
+                return total, (l_mel, l_fm, adv_p + adv_s, sp["spectral"])
 
-            (g_loss, (l_mel, l_fm, l_adv)), g_grads = jax.value_and_grad(
-                gen_loss_fn, has_aux=True)(state.gen_params)
+            (g_loss, (l_mel, l_fm, l_adv, spectral2)), g_grads = \
+                jax.value_and_grad(gen_loss_fn, has_aux=True)(
+                    state.gen_params)
             g_updates, gen_opt = gen_tx.update(g_grads, state.gen_opt,
                                                state.gen_params)
             gen_params = optax.apply_updates(state.gen_params, g_updates)
@@ -139,7 +150,7 @@ class VocoderTrainer:
             new_state = state.replace(
                 step=state.step + 1, gen_params=gen_params,
                 mpd_params=disc_params["mpd"], msd_params=disc_params["msd"],
-                gen_opt=gen_opt, disc_opt=disc_opt)
+                msd_spectral=spectral2, gen_opt=gen_opt, disc_opt=disc_opt)
             return new_state, VocoderLosses(d_loss, g_loss, l_mel, l_fm, l_adv)
 
         return train_step
