@@ -53,22 +53,39 @@ def _get_russian_transcriptor():
 def preprocess_rus(text, lexicon=None):
     """Russian text -> symbol IDs.
 
-    Uses the external ``russian_g2p`` transcriber when available (parity with
-    the reference path, input_process.py:71-86); otherwise falls back to a
-    lexicon lookup so the framework works standalone.
+    Resolution order (most to least faithful to the reference path,
+    input_process.py:71-86):
+      1. the external ``russian_g2p`` transcriber when importable;
+      2. a pronunciation lexicon (``rus_all.dict``) when provided — with
+         the in-tree rule engine covering OOV words;
+      3. the in-tree rule-based transcriber (text/russian_rules.py, the
+         same 54-phone inventory) — zero external dependencies.
     """
     text = text.rstrip(punctuation)
     try:
         transcriptor = _get_russian_transcriptor()
     except ImportError:
-        if lexicon is None:
-            raise ImportError(
-                "russian_g2p is not installed and no lexicon was provided; "
-                "pass lexicon=read_lexicon(path_to_rus_all.dict)"
-            )
-        return preprocess_with_lexicon(text, lexicon)
+        if lexicon is not None:
+            return preprocess_with_lexicon(text, lexicon)
+        return preprocess_rus_rules(text)
     sentences = transcriptor.transcribe([text])[0]
     phones = [ph for sent in sentences for ph in sent + ["sp"]]
+    return _phones_to_ids(phones)
+
+
+def preprocess_rus_rules(text):
+    """Russian text -> symbol IDs via the rule-based transcriber alone.
+
+    Words may carry a '+' before the stressed vowel (``зам+ок`` vs
+    ``з+амок``); ё is treated as stressed. The reference's ``sp``
+    word-separator convention is kept."""
+    from tts_king_tpu.text.russian_rules import transcribe
+
+    phones = []
+    for word_phones in transcribe(text):
+        phones += word_phones + ["sp"]
+    if not phones:
+        return np.array([], np.int64)
     return _phones_to_ids(phones)
 
 
@@ -94,13 +111,20 @@ def preprocess_eng(text, lexicon):
 
 
 def preprocess_with_lexicon(text, lexicon):
-    """Language-agnostic lexicon-only path: unknown words become pauses."""
+    """Lexicon path: OOV *Cyrillic* words go through the rule-based
+    transcriber (they used to degrade to pauses); anything else becomes a
+    pause."""
+    from tts_king_tpu.text.russian_rules import transcribe
+
     text = text.rstrip(punctuation)
     phones = []
     for w in _WORD_SPLIT_RE.split(text):
-        lw = w.lower()
+        lw = w.lower().replace("+", "")
+        ruled = transcribe(w)  # handles '+' stress marks; [] if non-Cyrillic
         if lw in lexicon:
             phones += lexicon[lw]
-        else:
+        elif ruled:
+            phones += ruled[0]
+        elif w.strip():
             phones += "."
     return _phones_to_ids(phones)
