@@ -446,20 +446,47 @@ def bench_serving_ttfa(cfg):
 
 def main():
     run_all = "--all" in sys.argv
+    only = None
+    if "--only" in sys.argv:
+        # --only fs2_single,features : targeted quiet-box reruns of named
+        # rows (the keys below) without paying for the full sweep.
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
     cfg, fs2, fs2_vars, voc, voc_vars = _build_models()
+
+    named = {
+        "fs2_single": lambda: bench_fs2_single(cfg, fs2, fs2_vars),
+        "vocoder": lambda: bench_vocoder(cfg, voc, voc_vars),
+        "vocoder_int8": lambda: bench_vocoder_int8(cfg, voc_vars),
+        "e2e": lambda: bench_e2e(cfg, fs2, fs2_vars, voc, voc_vars),
+        "features": lambda: bench_features(cfg),
+        "train_step": lambda: bench_train_step(cfg, fs2, fs2_vars),
+        "vocoder_train_step": lambda: bench_vocoder_train_step(cfg),
+        "streaming": lambda: bench_streaming_latency(
+            cfg, fs2, fs2_vars, voc, voc_vars),
+        "serving": lambda: bench_serving_ttfa(cfg),
+    }
+    if only is not None:
+        unknown = only - set(named)
+        if unknown:
+            raise SystemExit(f"unknown --only rows: {sorted(unknown)}; "
+                             f"choose from {sorted(named)}")
+        for key in named:
+            if key in only:
+                print(json.dumps(named[key]()), flush=True)
+        return
 
     headline = bench_e2e(cfg, fs2, fs2_vars, voc, voc_vars)
     if run_all:
         results = [
-            bench_fs2_single(cfg, fs2, fs2_vars),
-            bench_vocoder(cfg, voc, voc_vars),
-            bench_vocoder_int8(cfg, voc_vars),
+            named["fs2_single"](),
+            named["vocoder"](),
+            named["vocoder_int8"](),
             headline,
-            bench_features(cfg),
-            bench_train_step(cfg, fs2, fs2_vars),
-            bench_vocoder_train_step(cfg),
-            bench_streaming_latency(cfg, fs2, fs2_vars, voc, voc_vars),
-            bench_serving_ttfa(cfg),
+            named["features"](),
+            named["train_step"](),
+            named["vocoder_train_step"](),
+            named["streaming"](),
+            named["serving"](),
         ]
         for r in results:
             print(json.dumps(r))

@@ -36,6 +36,8 @@ def main():
     ap.add_argument("--root", default="/tmp/tts_validate_voc")
     ap.add_argument("--out", default="results/vocoder_training_validation.json")
     ap.add_argument("--log-every", type=int, default=25)
+    ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"],
+                    help="GAN-step compute dtype (bf16 = TPU fast path)")
     args = ap.parse_args()
 
     from tts_king_tpu.config import TTSConfig
@@ -58,8 +60,11 @@ def main():
         cfg.vocoder, upsample_initial_channel=args.channels,
         batch_size=args.batch_size)
 
+    import jax.numpy as jnp
+
     train_vocoder(cfg, wavs, max_steps=args.steps,
-                  log_every=args.log_every, save_every=max(args.steps, 1))
+                  log_every=args.log_every, save_every=max(args.steps, 1),
+                  compute_dtype=jnp.bfloat16 if args.dtype == "bf16" else None)
 
     # Parse the metrics JSONL the loop wrote.
     metrics_path = os.path.join(cfg.train.result_path,
@@ -80,6 +85,7 @@ def main():
     summary = {
         "steps": args.steps,
         "channels": args.channels,
+        "compute_dtype": args.dtype,
         "batch_size": args.batch_size,
         "mel_l1_first": round(mean(head, "mel_l1"), 3),
         "mel_l1_last": round(mean(tail, "mel_l1"), 3),

@@ -175,3 +175,46 @@ def test_mel_dataset_sharded_batches_bit_match(tmp_path):
 
     with pytest.raises(ValueError, match="not divisible"):
         next(MelDataset(paths, cfg, seed=5).batches(4, seed=9, shard=(0, 3)))
+
+
+def test_gan_step_bf16_compute_matches_f32():
+    """bf16 compute-dtype GAN step (the TPU training fast path): same
+    params, same batch — losses must be finite and track the f32 step
+    within bf16 tolerance, and the updated params must stay f32."""
+    import jax
+    import jax.numpy as jnp
+
+    from tts_king_tpu.train.vocoder import VocoderTrainer
+
+    cfg = _tiny_cfg()
+    tr32 = VocoderTrainer(cfg, disc_p_channels=(4, 8, 8, 8, 8),
+                          msd_width=32)
+    tr16 = VocoderTrainer(cfg, disc_p_channels=(4, 8, 8, 8, 8),
+                          msd_width=32, compute_dtype=jnp.bfloat16)
+    state32 = tr32.init_state(jax.random.PRNGKey(0),
+                              cfg.segment_size // cfg.hop_size)
+    # identical parameters for both dtypes (init graphs match: params f32)
+    state16 = state32
+
+    frames = cfg.segment_size // cfg.hop_size
+    t = np.arange(cfg.segment_size) / cfg.sampling_rate
+    wav = np.stack([0.5 * np.sin(2 * np.pi * 220 * t),
+                    0.5 * np.sin(2 * np.pi * 330 * t)]).astype(np.float32)
+    from tts_king_tpu.ops.stft import hifigan_mel
+
+    mel = np.asarray(hifigan_mel(wav, cfg.n_fft, cfg.num_mels,
+                                 cfg.sampling_rate, cfg.hop_size,
+                                 cfg.win_size, 0.0, 8000.0))[:, :frames]
+    batch = {"mel": mel, "wav": wav, "mel_loss": mel}
+
+    s32, l32 = jax.jit(tr32.make_train_step())(state32, batch)
+    s16, l16 = jax.jit(tr16.make_train_step())(state16, batch)
+
+    for name in l32._fields:
+        a, b = float(getattr(l32, name)), float(getattr(l16, name))
+        assert np.isfinite(b), f"{name} not finite in bf16"
+        assert abs(a - b) <= 0.05 * max(abs(a), 1.0), \
+            f"{name}: f32 {a} vs bf16 {b}"
+    leaves16 = jax.tree_util.tree_leaves(s16.gen_params)
+    assert all(x.dtype == jnp.float32 for x in leaves16), \
+        "bf16 compute must keep f32 master params"

@@ -273,13 +273,18 @@ class Generator(nn.Module):
 class WNConv(nn.Module):
     """flax conv (1D or 2D by kernel tuple) with torch weight_norm(dim=0)
     parametrization — the discriminators train with the same optimization
-    geometry as the torch originals (hifi/models.py:219-220)."""
+    geometry as the torch originals (hifi/models.py:219-220).
+
+    ``dtype`` is the COMPUTE dtype: params (v, g) and the weight-norm fold
+    stay f32 (master weights + stable norm), the conv itself runs in
+    ``dtype`` — bf16 doubles MXU throughput on the discriminator stacks."""
 
     features: int
     kernel_size: Tuple[int, ...]
     strides: Tuple[int, ...] = None
     padding: Any = 0
     feature_group_count: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -291,18 +296,24 @@ class WNConv(nn.Module):
         norm = jnp.sqrt(jnp.sum(v * v, axis=axes, keepdims=True) + 1e-12)
         kernel = g * v / norm
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        dn = jax.lax.conv_dimension_numbers(
-            x.shape, kernel.shape,
-            ("NHC", "HIO", "NHC") if len(self.kernel_size) == 1
-            else ("NHWC", "HWIO", "NHWC"))
-        pad = self.padding
-        if isinstance(pad, int):
-            pad = [(pad, pad)] * len(self.kernel_size)
-        out = jax.lax.conv_general_dilated(
-            x, kernel, self.strides or (1,) * len(self.kernel_size), pad,
-            dimension_numbers=dn,
-            feature_group_count=self.feature_group_count)
-        return out + bias
+        return _disc_conv(x, kernel, bias, self.kernel_size, self.strides,
+                          self.padding, self.feature_group_count, self.dtype)
+
+
+def _disc_conv(x, kernel, bias, kernel_size, strides, padding, groups,
+               dtype):
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, kernel.shape,
+        ("NHC", "HIO", "NHC") if len(kernel_size) == 1
+        else ("NHWC", "HWIO", "NHWC"))
+    pad = padding
+    if isinstance(pad, int):
+        pad = [(pad, pad)] * len(kernel_size)
+    out = jax.lax.conv_general_dilated(
+        x.astype(dtype), kernel.astype(dtype),
+        strides or (1,) * len(kernel_size), pad,
+        dimension_numbers=dn, feature_group_count=groups)
+    return out + bias.astype(dtype)
 
 
 class SNConv(nn.Module):
@@ -329,6 +340,7 @@ class SNConv(nn.Module):
     strides: Tuple[int, ...] = None
     padding: Any = 0
     feature_group_count: int = 1
+    dtype: Any = jnp.float32  # compute dtype; params + power iteration f32
 
     @nn.compact
     def __call__(self, x, update: bool = False):
@@ -364,18 +376,8 @@ class SNConv(nn.Module):
         sigma = u @ (mat @ v)
         kernel = w / sigma
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        dn = jax.lax.conv_dimension_numbers(
-            x.shape, kernel.shape,
-            ("NHC", "HIO", "NHC") if len(self.kernel_size) == 1
-            else ("NHWC", "HWIO", "NHWC"))
-        pad = self.padding
-        if isinstance(pad, int):
-            pad = [(pad, pad)] * len(self.kernel_size)
-        out = jax.lax.conv_general_dilated(
-            x, kernel, self.strides or (1,) * len(self.kernel_size), pad,
-            dimension_numbers=dn,
-            feature_group_count=self.feature_group_count)
-        return out + bias
+        return _disc_conv(x, kernel, bias, self.kernel_size, self.strides,
+                          self.padding, self.feature_group_count, self.dtype)
 
 
 class DiscriminatorP(nn.Module):
@@ -385,6 +387,7 @@ class DiscriminatorP(nn.Module):
     kernel_size: int = 5
     stride: int = 3
     channels: Tuple[int, ...] = (32, 128, 512, 1024, 1024)
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -399,17 +402,19 @@ class DiscriminatorP(nn.Module):
         fmap = []
         for i, ch in enumerate(self.channels[:-1]):
             x = WNConv(ch, (self.kernel_size, 1), strides=(self.stride, 1),
-                       padding=[(2, 2), (0, 0)], name=f"convs_{i}")(x)
+                       padding=[(2, 2), (0, 0)], dtype=self.dtype,
+                       name=f"convs_{i}")(x)
             x = nn.leaky_relu(x, LRELU_SLOPE)
             fmap.append(x)
         x = WNConv(self.channels[-1], (self.kernel_size, 1),
-                   padding=[(2, 2), (0, 0)],
+                   padding=[(2, 2), (0, 0)], dtype=self.dtype,
                    name=f"convs_{len(self.channels) - 1}")(x)
         x = nn.leaky_relu(x, LRELU_SLOPE)
         fmap.append(x)
-        x = WNConv(1, (3, 1), padding=[(1, 1), (0, 0)], name="conv_post")(x)
+        x = WNConv(1, (3, 1), padding=[(1, 1), (0, 0)], dtype=self.dtype,
+                   name="conv_post")(x)
         fmap.append(x)
-        return x.reshape(B, -1), fmap
+        return x.reshape(B, -1).astype(jnp.float32), fmap
 
 
 class DiscriminatorS(nn.Module):
@@ -419,6 +424,7 @@ class DiscriminatorS(nn.Module):
 
     width: int = 1  # divides every channel count (for small test configs)
     use_spectral_norm: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, update_sn: bool = False):
@@ -434,7 +440,7 @@ class DiscriminatorS(nn.Module):
 
         def norm_f(ch, k, s, g, p, name):
             kw = dict(strides=(s,) if s else None, padding=p,
-                      feature_group_count=g, name=name)
+                      feature_group_count=g, dtype=self.dtype, name=name)
             if self.use_spectral_norm:
                 return lambda t: SNConv(ch, (k,), **kw)(t, update=update_sn)
             return WNConv(ch, (k,), **kw)
@@ -451,62 +457,105 @@ class DiscriminatorS(nn.Module):
             fmap.append(h)
         h = norm_f(1, 3, 0, 1, [(1, 1)], "conv_post")(h)
         fmap.append(h)
-        return h.reshape(h.shape[0], -1), fmap
+        return h.reshape(h.shape[0], -1).astype(jnp.float32), fmap
 
 
 class MultiPeriodDiscriminator(nn.Module):
+    """pair_batched=True runs d(concat([y, y_hat])) instead of d(y), d(y_hat)
+    per period — bit-exact (convs are linear in batch) and ~half the kernel
+    launches; the trainer uses it (results/msd_probe.jsonl)."""
+
     periods: Sequence[int] = (2, 3, 5, 7, 11)
     channels: Tuple[int, ...] = (32, 128, 512, 1024, 1024)
+    dtype: Any = jnp.float32
+    pair_batched: bool = False
 
     @nn.compact
     def __call__(self, y, y_hat):
         rs, gs, fr, fg = [], [], [], []
+        B = y.shape[0]
         for p in self.periods:
-            d = DiscriminatorP(p, channels=self.channels, name=f"disc_p{p}")
-            r, fmap_r = d(y)
-            g, fmap_g = d(y_hat)
+            d = DiscriminatorP(p, channels=self.channels, dtype=self.dtype,
+                               name=f"disc_p{p}")
+            if self.pair_batched:
+                o, fmaps = d(jnp.concatenate([y, y_hat], 0))
+                r, g = o[:B], o[B:]
+                fmap_r = [f[:B] for f in fmaps]
+                fmap_g = [f[B:] for f in fmaps]
+            else:
+                r, fmap_r = d(y)
+                g, fmap_g = d(y_hat)
             rs.append(r); fr.append(fmap_r); gs.append(g); fg.append(fmap_g)
         return rs, gs, fr, fg
 
 
 class MultiScaleDiscriminator(nn.Module):
     """Scale 1 spectral-normed, scales 2-3 weight-normed with avg-pool
-    pyramid (hifi/models.py:343-374)."""
+    pyramid (hifi/models.py:343-374).
+
+    pair_batched=True runs each scale once on concat([y, y_hat]) — bit-exact
+    for the weight-normed scales; for the spectral-normed scale it performs
+    ONE power iteration per train step over the joint batch instead of
+    torch's one-per-forward-call (two per step). Same stationary point, and
+    it removes the y->y_hat sequential dependency that serializes the two
+    conv stacks: measured 45% faster D-side on TPU (results/msd_probe.jsonl,
+    scale-0 bf16 44.3 -> 19.6 ms). Default False = exact torch call
+    semantics (the parity-test contract)."""
 
     n_scales: int = 3
     width: int = 1
+    dtype: Any = jnp.float32
+    pair_batched: bool = False
 
     @nn.compact
     def __call__(self, y, y_hat, update_sn: bool = False):
         rs, gs, fr, fg = [], [], [], []
+        B = y.shape[0]
         for i in range(self.n_scales):
             if i:
                 y = _avg_pool1d(y, 4, 2, 2)
                 y_hat = _avg_pool1d(y_hat, 4, 2, 2)
             d = DiscriminatorS(width=self.width, use_spectral_norm=(i == 0),
-                               name=f"disc_s{i}")
-            # torch power-iterates once per forward CALL: d(y) then d(y_hat)
-            # both update the buffers sequentially (train_step order).
-            r, fmap_r = d(y, update_sn=update_sn)
-            g, fmap_g = d(y_hat, update_sn=update_sn)
+                               dtype=self.dtype, name=f"disc_s{i}")
+            if self.pair_batched:
+                o, fmaps = d(jnp.concatenate([y, y_hat], 0),
+                             update_sn=update_sn)
+                r, g = o[:B], o[B:]
+                fmap_r = [f[:B] for f in fmaps]
+                fmap_g = [f[B:] for f in fmaps]
+            else:
+                # torch power-iterates once per forward CALL: d(y) then
+                # d(y_hat) both update the buffers sequentially.
+                r, fmap_r = d(y, update_sn=update_sn)
+                g, fmap_g = d(y_hat, update_sn=update_sn)
             rs.append(r); fr.append(fmap_r); gs.append(g); fg.append(fmap_g)
         return rs, gs, fr, fg
 
 
 def _avg_pool1d(x, kernel, stride, padding):
-    """torch AvgPool1d(count_include_pad=True) over (B, T)."""
+    """torch AvgPool1d(count_include_pad=True) over (B, T).
+
+    reduce_window, not gather: reduce_window's backward is a pad+conv while
+    the gather formulation's is a scatter-add. Measured equal on the GAN
+    step at these pool sizes (results/gan_step_profile.jsonl baseline_f32
+    vs poolfix_f32, pool_pyramid_fwdbwd < 0.1 ms in results/msd_probe.jsonl)
+    — reduce_window kept as the canonically safe lowering."""
     xp = jnp.pad(x, [(0, 0), (padding, padding)])
     n = 1 + (xp.shape[1] - kernel) // stride
-    idx = jnp.arange(n)[:, None] * stride + jnp.arange(kernel)[None, :]
-    return jnp.mean(xp[:, idx], axis=-1)
+    summed = jax.lax.reduce_window(
+        xp, 0.0, jax.lax.add, window_dimensions=(1, kernel),
+        window_strides=(1, stride), padding="VALID")
+    return summed[:, :n] / kernel
 
 
 def feature_loss(fmap_r, fmap_g):
-    """L1 feature-matching loss x2 (hifi/models.py:377-383)."""
+    """L1 feature-matching loss x2 (hifi/models.py:377-383). Accumulated in
+    f32 regardless of the discriminators' compute dtype."""
     loss = 0.0
     for dr, dg in zip(fmap_r, fmap_g):
         for rl, gl in zip(dr, dg):
-            loss += jnp.mean(jnp.abs(rl - gl))
+            loss += jnp.mean(jnp.abs(rl.astype(jnp.float32)
+                                     - gl.astype(jnp.float32)))
     return loss * 2.0
 
 

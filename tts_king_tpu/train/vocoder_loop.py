@@ -41,8 +41,12 @@ def train_vocoder(cfg: TTSConfig, wav_paths: List[str],
                   fine_tuning: bool = False, base_mels_path=None,
                   restore_step: Optional[int] = None,
                   disc_p_channels=None, msd_width: int = 1,
-                  use_mesh: bool = True, distributed: bool = False):
-    """Returns the final VocoderTrainState."""
+                  use_mesh: bool = True, distributed: bool = False,
+                  compute_dtype=None):
+    """Returns the final VocoderTrainState.
+
+    compute_dtype: activation dtype for the GAN step (see VocoderTrainer);
+    None = f32. bf16 is the TPU fast path (results/gan_step_profile.jsonl)."""
     from tts_king_tpu.parallel.lockstep import (coordination_barrier,
                                                 maybe_lockstep)
 
@@ -64,7 +68,8 @@ def train_vocoder(cfg: TTSConfig, wav_paths: List[str],
     steps_per_epoch = max(len(dataset) // vc.batch_size, 1)
     trainer = VocoderTrainer(vc, disc_p_channels=disc_p_channels,
                              msd_width=msd_width,
-                             steps_per_epoch=steps_per_epoch)
+                             steps_per_epoch=steps_per_epoch,
+                             compute_dtype=compute_dtype)
 
     mesh = None
     shard = None
