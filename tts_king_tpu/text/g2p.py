@@ -120,11 +120,13 @@ def preprocess_with_lexicon(text, lexicon):
     phones = []
     for w in _WORD_SPLIT_RE.split(text):
         lw = w.lower().replace("+", "")
-        ruled = transcribe(w)  # handles '+' stress marks; [] if non-Cyrillic
         if lw in lexicon:
             phones += lexicon[lw]
-        elif ruled:
-            phones += ruled[0]
-        elif w.strip():
-            phones += "."
+        else:
+            # '+' stress marks handled by the rule engine; [] if
+            # non-Cyrillic. Whitespace/punctuation tokens (the capturing
+            # split keeps them) fall through to '.' -> sp, the reference's
+            # {sp} word-separator convention (input_process.py:39).
+            ruled = transcribe(w)
+            phones += ruled[0] if ruled else "."
     return _phones_to_ids(phones)
