@@ -25,6 +25,7 @@ Writes results/groupconv_lowering.jsonl.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -57,19 +58,27 @@ def scan_diff(body, *args, ka=2, kb=10, reps=4):
     return best
 
 
-def block_diag_kernel(w, groups):
-    """(K, Cin/G, Cout) grouped kernel -> (K, Cin, Cout) dense block-diag.
+def block_diag_kernel(w, groups, target_groups=1):
+    """(K, Cin/G, Cout) grouped kernel -> block-diag kernel for a conv with
+    target_groups groups (target_groups divides groups; 1 = fully dense).
 
-    dense[k, h*cig + c, g*cog + o] = w[k, c, g*cog + o] * (h == g): a
-    broadcast-multiply with eye(G), which XLA fuses — no scatter."""
+    Each target group packs groups/target_groups original groups as a
+    block-diagonal (K, Cin/target, Cout/target) tile: nominal FLOPs grow by
+    groups/target_groups instead of the full G of dense lowering, while the
+    per-group contraction width grows by the same factor."""
     import jax.numpy as jnp
 
     k, cig, cout = w.shape
+    pack = groups // target_groups          # original groups per new group
     cog = cout // groups
-    wr = w.reshape(k, cig, groups, cog)
-    eye = jnp.eye(groups, dtype=w.dtype)
-    dense = jnp.einsum("kcgo,hg->khcgo", wr, eye)
-    return dense.reshape(k, cig * groups, cout)
+    # (k, cig, target, pack, cog): split out channels by new-group then pack
+    wr = w.reshape(k, cig, target_groups, pack, cog)
+    eye = jnp.eye(pack, dtype=w.dtype)
+    # input rows inside a new group: (pack, cig); block-diag over pack
+    dense = jnp.einsum("kctpo,qp->ktqcpo", wr, eye)
+    # -> (k, target, pack*cig, pack*cog) -> (k, pack*cig, target*pack*cog)
+    dense = dense.reshape(k, target_groups, pack * cig, pack * cog)
+    return dense.transpose(0, 2, 1, 3).reshape(k, pack * cig, cout)
 
 
 def main():
@@ -99,7 +108,8 @@ def main():
             if lowering == "grouped":
                 wd, fg = w_.astype(dt), g
             else:
-                wd, fg = block_diag_kernel(w_.astype(dt), g), 1
+                fg = int(lowering.split("_g")[1])  # blockdiag_g<T>
+                wd = block_diag_kernel(w_.astype(dt), g, fg)
             dn = jax.lax.conv_dimension_numbers(
                 xd.shape, wd.shape, ("NHC", "HIO", "NHC"))
             out = jax.lax.conv_general_dilated(
@@ -110,10 +120,15 @@ def main():
         row = {"shape": f"{ci}->{co} k{k} s{s} g{g} T{t}"}
         flops = 2 * B * (t // s) * co * (ci // g) * k
         row["gflop_fwd_useful"] = round(flops / 1e9, 1)
-        for lowering in ("grouped", "blockdiag"):
-            if lowering == "blockdiag" and g == 1:
-                continue
-            for name, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        # partial densification: pack G original groups into tg conv
+        # groups (tg < G) — nominal FLOPs x(G/tg), contraction x(G/tg).
+        lowerings = ["grouped"] + [f"blockdiag_g{tg}"
+                                   for tg in (1, 2, 4) if tg < g]
+        for lowering in lowerings:
+            dtypes = [("f32", jnp.float32), ("bf16", jnp.bfloat16)]
+            if os.environ.get("PROBE_DTYPES") == "bf16":
+                dtypes = dtypes[1:]
+            for name, dt in dtypes:
                 # carry feeds back at 1e-30 scale: keeps the conv
                 # loop-carried (no hoisting) without perturbing values,
                 # and the loss accumulates at 1e-12 so nothing is DCE'd.
@@ -127,10 +142,26 @@ def main():
                     return (c + l * 1e-12 + ga.ravel()[0] * 1e-12
                             + gb.ravel()[0] * 1e-12)
 
+                # split backward: dgrad (wrt x: what the generator-side
+                # pass needs) vs wgrad (wrt w: what the disc-side needs)
+                def dgrad_body(c, a, b):
+                    l, ga = jax.value_and_grad(
+                        lambda xx: conv(xx, b, dt, lowering))(a + c * 1e-30)
+                    return c + l * 1e-12 + ga.ravel()[0] * 1e-12
+
+                def wgrad_body(c, a, b):
+                    l, gb = jax.value_and_grad(
+                        lambda ww: conv(a + c * 1e-30, ww, dt, lowering))(b)
+                    return c + l * 1e-12 + gb.ravel()[0] * 1e-12
+
                 fwd = scan_diff(fwd_body, x0, w0)
                 fb = scan_diff(fb_body, x0, w0)
+                fdg = scan_diff(dgrad_body, x0, w0)
+                fwg = scan_diff(wgrad_body, x0, w0)
                 row[f"{lowering}_{name}_fwd_ms"] = round(fwd * 1e3, 3)
                 row[f"{lowering}_{name}_fwdbwd_ms"] = round(fb * 1e3, 3)
+                row[f"{lowering}_{name}_fwd_dgrad_ms"] = round(fdg * 1e3, 3)
+                row[f"{lowering}_{name}_fwd_wgrad_ms"] = round(fwg * 1e3, 3)
                 row[f"{lowering}_{name}_fwdbwd_tfs_useful"] = round(
                     3 * flops / max(fb, 1e-9) / 1e12, 1)
         rows.append(row)

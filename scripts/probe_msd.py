@@ -106,6 +106,7 @@ def main():
             msb = scan_diff(fbb, params, spec, y, yh) * 1e3
 
             row = {"dtype": dt_name, "scale": scale, "T": t_in,
+                   "grouped_lowering": d.grouped_lowering,
                    "two_call_fwdbwd_ms": round(ms2, 2),
                    "batched_fwdbwd_ms": round(msb, 2)}
             rows.append(row)

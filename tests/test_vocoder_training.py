@@ -177,6 +177,28 @@ def test_mel_dataset_sharded_batches_bit_match(tmp_path):
         next(MelDataset(paths, cfg, seed=5).batches(4, seed=9, shard=(0, 3)))
 
 
+def test_msd_blockdiag_lowering_matches_native():
+    """grouped_lowering="auto" (block-diag dense convs on the layers where
+    the dense form measured faster) computes the same function as the
+    native grouped lowering: the off-block weights are exact zeros, so the
+    only difference is the dense conv's reduction order (float rounding,
+    ~1e-7 relative)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tts_king_tpu.models.hifigan import DiscriminatorS
+
+    x = jnp.asarray(np.random.RandomState(3).randn(2, 1024), jnp.float32)
+    d_auto = DiscriminatorS(width=8, grouped_lowering="auto")
+    d_native = DiscriminatorS(width=8, grouped_lowering="native")
+    variables = d_auto.init(jax.random.PRNGKey(0), x)
+    out_a, fm_a = d_auto.apply(variables, x)
+    out_n, fm_n = d_native.apply(variables, x)
+    np.testing.assert_allclose(out_a, out_n, rtol=2e-5, atol=1e-6)
+    for a, n in zip(fm_a, fm_n):
+        np.testing.assert_allclose(a, n, rtol=2e-5, atol=1e-6)
+
+
 def test_gan_step_bf16_compute_matches_f32():
     """bf16 compute-dtype GAN step (the TPU training fast path): same
     params, same batch — losses must be finite and track the f32 step

@@ -285,6 +285,7 @@ class WNConv(nn.Module):
     padding: Any = 0
     feature_group_count: int = 1
     dtype: Any = jnp.float32
+    groups_lowering: str = "native"  # see _disc_conv
 
     @nn.compact
     def __call__(self, x):
@@ -297,11 +298,39 @@ class WNConv(nn.Module):
         kernel = g * v / norm
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         return _disc_conv(x, kernel, bias, self.kernel_size, self.strides,
-                          self.padding, self.feature_group_count, self.dtype)
+                          self.padding, self.feature_group_count, self.dtype,
+                          self.groups_lowering)
+
+
+def _block_diag_kernel(kernel, groups):
+    """(K, Cin/G, Cout) grouped kernel -> (K, Cin, Cout) dense block-diag:
+    dense[k, h*cig + c, g*cog + o] = kernel[k, c, g*cog + o] * (h == g) — a
+    broadcast-multiply with eye(G) that XLA fuses (no scatter). The
+    off-block weights are exact zeros, so the dense conv computes the same
+    function as the grouped one; outputs differ only by the dense
+    reduction's summation order (float rounding, ~1e-7 relative —
+    test_msd_blockdiag_lowering_matches_native)."""
+    k, cig, cout = kernel.shape
+    cog = cout // groups
+    wr = kernel.reshape(k, cig, groups, cog)
+    eye = jnp.eye(groups, dtype=kernel.dtype)
+    dense = jnp.einsum("kcgo,hg->khcgo", wr, eye)
+    return dense.reshape(k, cig * groups, cout)
 
 
 def _disc_conv(x, kernel, bias, kernel_size, strides, padding, groups,
-               dtype):
+               dtype, groups_lowering="native"):
+    """groups_lowering="blockdiag" lowers a grouped conv as a DENSE conv
+    with the kernel scattered into block-diagonal form. The per-group
+    contraction (Cin/G = 16..64) and output block (Cout/G) are far below
+    the 128-lane MXU tile, so XLA's native grouped path wastes most of the
+    systolic array; the dense form costs Gx more nominal FLOPs but runs at
+    the full dense-conv rate — measured 2.4-8x faster fwd+bwd on the MSD's
+    mid layers (results/groupconv_lowering.jsonl). Same function either
+    way, up to reduction-order rounding."""
+    if groups_lowering == "blockdiag" and groups > 1:
+        kernel = _block_diag_kernel(kernel, groups)
+        groups = 1
     dn = jax.lax.conv_dimension_numbers(
         x.shape, kernel.shape,
         ("NHC", "HIO", "NHC") if len(kernel_size) == 1
@@ -341,6 +370,7 @@ class SNConv(nn.Module):
     padding: Any = 0
     feature_group_count: int = 1
     dtype: Any = jnp.float32  # compute dtype; params + power iteration f32
+    groups_lowering: str = "native"  # see _disc_conv
 
     @nn.compact
     def __call__(self, x, update: bool = False):
@@ -377,7 +407,8 @@ class SNConv(nn.Module):
         kernel = w / sigma
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         return _disc_conv(x, kernel, bias, self.kernel_size, self.strides,
-                          self.padding, self.feature_group_count, self.dtype)
+                          self.padding, self.feature_group_count, self.dtype,
+                          self.groups_lowering)
 
 
 class DiscriminatorP(nn.Module):
@@ -425,6 +456,13 @@ class DiscriminatorS(nn.Module):
     width: int = 1  # divides every channel count (for small test configs)
     use_spectral_norm: bool = False
     dtype: Any = jnp.float32
+    # "auto": block-diag dense lowering on the grouped layers where it
+    # measured faster (results/groupconv_lowering.jsonl) — convs_1..convs_4.
+    # convs_5 (1024->1024 k41 g16, T=128) stays native: its 41x1024x1024
+    # dense kernel/wgrad dwarfs the tiny spatial extent (13x slower).
+    # "native": XLA grouped convs everywhere. Same function either way
+    # (outputs differ only by reduction-order rounding).
+    grouped_lowering: str = "auto"
 
     @nn.compact
     def __call__(self, x, update_sn: bool = False):
@@ -437,10 +475,13 @@ class DiscriminatorS(nn.Module):
             (1024 // w, 41, 4, 16, 20), (1024 // w, 41, 1, 16, 20),
             (1024 // w, 5, 1, 1, 2),
         ]
+        blockdiag_layers = (1, 2, 3, 4) if self.grouped_lowering == "auto" \
+            else ()
 
-        def norm_f(ch, k, s, g, p, name):
+        def norm_f(ch, k, s, g, p, name, lowering="native"):
             kw = dict(strides=(s,) if s else None, padding=p,
-                      feature_group_count=g, dtype=self.dtype, name=name)
+                      feature_group_count=g, dtype=self.dtype,
+                      groups_lowering=lowering, name=name)
             if self.use_spectral_norm:
                 return lambda t: SNConv(ch, (k,), **kw)(t, update=update_sn)
             return WNConv(ch, (k,), **kw)
@@ -452,7 +493,8 @@ class DiscriminatorS(nn.Module):
             import math
 
             g = math.gcd(g, math.gcd(int(h.shape[-1]), ch))
-            h = norm_f(ch, k, s, g, [(p, p)], f"convs_{i}")(h)
+            lowering = ("blockdiag" if i in blockdiag_layers else "native")
+            h = norm_f(ch, k, s, g, [(p, p)], f"convs_{i}", lowering)(h)
             h = nn.leaky_relu(h, LRELU_SLOPE)
             fmap.append(h)
         h = norm_f(1, 3, 0, 1, [(1, 1)], "conv_post")(h)
