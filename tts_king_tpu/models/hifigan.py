@@ -302,35 +302,48 @@ class WNConv(nn.Module):
                           self.groups_lowering)
 
 
-def _block_diag_kernel(kernel, groups):
-    """(K, Cin/G, Cout) grouped kernel -> (K, Cin, Cout) dense block-diag:
-    dense[k, h*cig + c, g*cog + o] = kernel[k, c, g*cog + o] * (h == g) — a
-    broadcast-multiply with eye(G) that XLA fuses (no scatter). The
-    off-block weights are exact zeros, so the dense conv computes the same
-    function as the grouped one; outputs differ only by the dense
-    reduction's summation order (float rounding, ~1e-7 relative —
+def _block_diag_kernel(kernel, groups, target_groups=1):
+    """(K, Cin/G, Cout) grouped kernel -> block-diag kernel for a conv with
+    target_groups groups (divides groups; 1 = fully dense): each target
+    group packs pack = groups/target_groups original groups as a
+    block-diagonal tile, built by a broadcast-multiply with eye(pack) that
+    XLA fuses (no scatter). The off-block weights are exact zeros, so the
+    partially-densified conv computes the same function as the grouped
+    one; outputs differ only by the wider reduction's summation order
+    (float rounding, ~1e-7 relative —
     test_msd_blockdiag_lowering_matches_native)."""
     k, cig, cout = kernel.shape
+    pack = groups // target_groups
+    if pack == 1:
+        return kernel
     cog = cout // groups
-    wr = kernel.reshape(k, cig, groups, cog)
-    eye = jnp.eye(groups, dtype=kernel.dtype)
-    dense = jnp.einsum("kcgo,hg->khcgo", wr, eye)
-    return dense.reshape(k, cig * groups, cout)
+    wr = kernel.reshape(k, cig, target_groups, pack, cog)
+    eye = jnp.eye(pack, dtype=kernel.dtype)
+    dense = jnp.einsum("kctpo,qp->ktqcpo", wr, eye)
+    dense = dense.reshape(k, target_groups, pack * cig, pack * cog)
+    return dense.transpose(0, 2, 1, 3).reshape(k, pack * cig, cout)
 
 
 def _disc_conv(x, kernel, bias, kernel_size, strides, padding, groups,
                dtype, groups_lowering="native"):
-    """groups_lowering="blockdiag" lowers a grouped conv as a DENSE conv
-    with the kernel scattered into block-diagonal form. The per-group
-    contraction (Cin/G = 16..64) and output block (Cout/G) are far below
-    the 128-lane MXU tile, so XLA's native grouped path wastes most of the
-    systolic array; the dense form costs Gx more nominal FLOPs but runs at
-    the full dense-conv rate — measured 2.4-8x faster fwd+bwd on the MSD's
-    mid layers (results/groupconv_lowering.jsonl). Same function either
-    way, up to reduction-order rounding."""
-    if groups_lowering == "blockdiag" and groups > 1:
-        kernel = _block_diag_kernel(kernel, groups)
-        groups = 1
+    """groups_lowering="blockdiag_g<T>" lowers a grouped conv as a conv
+    with T groups, the kernel expanded into per-group block-diagonal form
+    ("blockdiag" = fully dense, T=1). The native per-group contraction
+    (Cin/G = 16..64) and output block (Cout/G) are far below the 128-lane
+    MXU tile, so XLA's grouped path wastes most of the systolic array; the
+    (partially) densified form costs (G/T)x more nominal FLOPs but fills
+    the MXU — measured 2-8x faster fwd+bwd on the MSD's mid layers, with
+    the optimum at a ~128-wide contraction, i.e. T ~= Cin/128
+    (results/groupconv_lowering.jsonl). Same function either way, up to
+    reduction-order rounding."""
+    if groups_lowering.startswith("blockdiag") and groups > 1:
+        import math
+
+        want = (int(groups_lowering.split("_g")[1])
+                if "_g" in groups_lowering else 1)
+        tg = math.gcd(want, groups)  # width-reduced test configs shrink g
+        kernel = _block_diag_kernel(kernel, groups, tg)
+        groups = tg
     dn = jax.lax.conv_dimension_numbers(
         x.shape, kernel.shape,
         ("NHC", "HIO", "NHC") if len(kernel_size) == 1
@@ -456,10 +469,12 @@ class DiscriminatorS(nn.Module):
     width: int = 1  # divides every channel count (for small test configs)
     use_spectral_norm: bool = False
     dtype: Any = jnp.float32
-    # "auto": block-diag dense lowering on the grouped layers where it
-    # measured faster (results/groupconv_lowering.jsonl) — convs_1..convs_4.
-    # convs_5 (1024->1024 k41 g16, T=128) stays native: its 41x1024x1024
-    # dense kernel/wgrad dwarfs the tiny spatial extent (13x slower).
+    # "auto": block-diag (partially-)dense lowering on the grouped layers
+    # where it measured faster (results/groupconv_lowering.jsonl), packed
+    # so each conv group contracts ~128 lanes (target groups ~= Cin/128):
+    # convs_1/convs_2 fully dense, convs_3 2 groups, convs_4 4 groups.
+    # convs_5 (1024->1024 k41 g16, T=128) stays native: its dense-expanded
+    # kernel/wgrad dwarfs the tiny spatial extent.
     # "native": XLA grouped convs everywhere. Same function either way
     # (outputs differ only by reduction-order rounding).
     grouped_lowering: str = "auto"
@@ -475,8 +490,10 @@ class DiscriminatorS(nn.Module):
             (1024 // w, 41, 4, 16, 20), (1024 // w, 41, 1, 16, 20),
             (1024 // w, 5, 1, 1, 2),
         ]
-        blockdiag_layers = (1, 2, 3, 4) if self.grouped_lowering == "auto" \
-            else ()
+        # measured-optimal lowering per layer index (see class docstring)
+        auto_lowering = {1: "blockdiag_g1", 2: "blockdiag_g1",
+                         3: "blockdiag_g2", 4: "blockdiag_g4"} \
+            if self.grouped_lowering == "auto" else {}
 
         def norm_f(ch, k, s, g, p, name, lowering="native"):
             kw = dict(strides=(s,) if s else None, padding=p,
@@ -493,7 +510,7 @@ class DiscriminatorS(nn.Module):
             import math
 
             g = math.gcd(g, math.gcd(int(h.shape[-1]), ch))
-            lowering = ("blockdiag" if i in blockdiag_layers else "native")
+            lowering = auto_lowering.get(i, "native")
             h = norm_f(ch, k, s, g, [(p, p)], f"convs_{i}", lowering)(h)
             h = nn.leaky_relu(h, LRELU_SLOPE)
             fmap.append(h)
