@@ -22,6 +22,23 @@ sys.path.insert(0, ".")
 
 import numpy as np
 
+# Warm the persistent compile cache (cold FS2 train-step compiles on the
+# axon tunnel take minutes; warm reruns start in seconds).
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+
+# Bump when summary fields / pass-fail criteria change so committed
+# artifacts produced under different definitions stay distinguishable
+# (VERDICT r4 item 9). Schema 2 = skill-score criterion: objective_improved
+# requires MCD down AND duration_skill > 0 (vs per-symbol Bayes floor);
+# schema-1 artifacts used raw duration-MAE improvement.
+SUMMARY_SCHEMA = 2
+CRITERION = ("objective_improved: mcd_db_last < mcd_db_first and "
+             "duration_skill > 0 (skill = (naive-last)/(naive-floor), "
+             "floor = per-symbol-median MAE, naive = global-median MAE)")
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -134,6 +151,8 @@ def main():
 
     first, last = curve[0], curve[-1]
     summary = {
+        "schema": SUMMARY_SCHEMA,
+        "criterion": CRITERION,
         "steps": args.steps,
         "train_total_first": round(first["total"], 3),
         "train_total_last": round(last["total"], 3),

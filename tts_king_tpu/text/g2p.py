@@ -17,6 +17,44 @@ _WORD_SPLIT_RE = re.compile(r"([,;.\-\?\!\s+])")
 _LONE_PUNCT_RE = re.compile(r"\{[^\w\s]?\}")
 
 _russian_transcriptor = None
+_default_lexicon = None
+_default_lexicon_searched = False
+
+# Where a rus_all.dict (the reference's 101k-entry pronunciation lexicon,
+# input_process.py:14-23) is looked for when the caller doesn't pass one.
+# First hit wins; $TTS_KING_LEXICON overrides everything.
+LEXICON_SEARCH_PATHS = (
+    "./rus_all.dict",
+    "./pretrained/rus_all.dict",
+    "/root/reference/pretrained/rus_all.dict",
+)
+
+
+def find_lexicon():
+    """Path of the default pronunciation lexicon, or None.
+
+    $TTS_KING_LEXICON (empty string = disable auto-discovery), then
+    LEXICON_SEARCH_PATHS in order."""
+    import os
+
+    env = os.environ.get("TTS_KING_LEXICON")
+    if env is not None:
+        return env if env and os.path.exists(env) else None
+    for p in LEXICON_SEARCH_PATHS:
+        if os.path.exists(p):
+            return p
+    return None
+
+
+def default_lexicon():
+    """The auto-discovered lexicon dict (cached), or None when absent."""
+    global _default_lexicon, _default_lexicon_searched
+    if not _default_lexicon_searched:
+        _default_lexicon_searched = True
+        path = find_lexicon()
+        if path:
+            _default_lexicon = read_lexicon(path)
+    return _default_lexicon
 
 
 def read_lexicon(lex_path):
@@ -56,8 +94,11 @@ def preprocess_rus(text, lexicon=None):
     Resolution order (most to least faithful to the reference path,
     input_process.py:71-86):
       1. the external ``russian_g2p`` transcriber when importable;
-      2. a pronunciation lexicon (``rus_all.dict``) when provided — with
-         the in-tree rule engine covering OOV words;
+      2. a pronunciation lexicon (``rus_all.dict``) — the ``lexicon``
+         argument, else auto-discovered via :func:`find_lexicon`
+         ($TTS_KING_LEXICON / ./rus_all.dict / ./pretrained/ /
+         the mounted reference tree) — with the in-tree rule engine
+         covering OOV words;
       3. the in-tree rule-based transcriber (text/russian_rules.py, the
          same 54-phone inventory) — zero external dependencies.
     """
@@ -65,6 +106,8 @@ def preprocess_rus(text, lexicon=None):
     try:
         transcriptor = _get_russian_transcriptor()
     except ImportError:
+        if lexicon is None:
+            lexicon = default_lexicon()
         if lexicon is not None:
             return preprocess_with_lexicon(text, lexicon)
         return preprocess_rus_rules(text)
