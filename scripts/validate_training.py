@@ -49,6 +49,12 @@ def main():
     ap.add_argument("--out", default="results/training_validation.json")
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--grad-acc", type=int, default=2)
+    ap.add_argument("--corpus", default="synthetic",
+                    choices=["synthetic", "prepared"],
+                    help="prepared = raw/ under --root was already built "
+                         "(e.g. by scripts/prepare_real_micro.py from the "
+                         "reference tree's real Russian wavs); only feature "
+                         "extraction + training run here")
     args = ap.parse_args()
 
     from tts_king_tpu.config import (ModelConfig, OptimizerConfig,
@@ -61,11 +67,17 @@ def main():
     raw = os.path.join(args.root, "raw")
     processed = os.path.join(args.root, "processed")
     if not os.path.isdir(processed):
-        os.makedirs(raw, exist_ok=True)
-        sec = generate_corpus(raw, n_speakers=args.speakers,
-                              utts_per_speaker=args.utts, seed=0)
-        print(f"corpus: {args.speakers} speakers x {args.utts} utts, "
-              f"{sec/60:.1f} min audio")
+        if args.corpus == "prepared":
+            if not os.path.isdir(raw):
+                raise SystemExit(
+                    f"--corpus prepared: no raw/ under {args.root}; run "
+                    "scripts/prepare_real_micro.py first")
+        else:
+            os.makedirs(raw, exist_ok=True)
+            sec = generate_corpus(raw, n_speakers=args.speakers,
+                                  utts_per_speaker=args.utts, seed=0)
+            print(f"corpus: {args.speakers} speakers x {args.utts} utts, "
+                  f"{sec/60:.1f} min audio")
         pp = PreprocessConfig(raw_path=raw, preprocessed_path=processed,
                               val_size=16)
         Preprocessor(pp, batch_size=16).build_from_path()
@@ -73,6 +85,8 @@ def main():
                           val_size=16)
 
     # Half-size model (2L/4L d128): real architecture, fast on one chip.
+    # Real ~9.5 s utterances are ~820 mel frames, so the prepared-corpus
+    # run needs the reference-scale sequence cap (1024 vs 512).
     cfg = TTSConfig(
         exp_name="validate",
         preprocess=pp,
@@ -82,7 +96,7 @@ def main():
                 variance_hidden=128, decoder_layer=4, decoder_head=2,
                 decoder_hidden=128, conv_filter_size=512),
             variance_predictor=VariancePredictorConfig(filter_size=128),
-            max_seq_len=512),
+            max_seq_len=1024 if args.corpus == "prepared" else 512),
         train=TrainConfig(
             ckpt_path=os.path.join(args.root, "ckpt"),
             result_path=os.path.join(args.root, "result"),
@@ -153,6 +167,7 @@ def main():
     summary = {
         "schema": SUMMARY_SCHEMA,
         "criterion": CRITERION,
+        "corpus": args.corpus,
         "steps": args.steps,
         "train_total_first": round(first["total"], 3),
         "train_total_last": round(last["total"], 3),

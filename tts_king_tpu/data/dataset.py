@@ -145,13 +145,24 @@ class FS2Dataset:
         """Load feature payloads for one metadata entry (keeps the entry's
         possibly-masked phoneme sequence)."""
         name, speaker, sid, seq = entry
+        duration = self._npy("duration", speaker, name).astype(np.int32)
+        if len(seq) != len(duration):
+            # A length mismatch means text_to_sequence dropped symbols the
+            # table doesn't know — training would silently pair phoneme i
+            # with phoneme j's duration/pitch/energy targets. The
+            # Preprocessor validates at build time; this catches corpora
+            # prepared elsewhere.
+            raise ValueError(
+                f"{speaker}/{name}: phoneme sequence has {len(seq)} ids but "
+                f"duration target has {len(duration)} — unknown symbols in "
+                "the metadata phones were dropped by text_to_sequence")
         return {
             "id": name,
             "speaker": sid,
             "text": seq,
             "mel": self._npy("mel", speaker, name).astype(np.float32),
             "energy": self._npy("energy", speaker, name).astype(np.float32),
-            "duration": self._npy("duration", speaker, name).astype(np.int32),
+            "duration": duration,
             "pitch_raw": self._npy("pitch", speaker, name).astype(np.float32),
             "pitch_cwt": np.nan_to_num(
                 self._npy("cwt-pitch", speaker, name).astype(np.float32)),
@@ -198,7 +209,7 @@ class FS2Dataset:
 
         mels, mel_lens = load("mel", T, 80)
         energies, _ = load("energy", L, 1)
-        durations, _ = load("duration", L, 1)
+        durations, dur_lens = load("duration", L, 1)
         pitches, _ = load("pitch", L, 1)
         cwt, _ = load("cwt-pitch", L, 11)
         pmean, _ = load("pitch-mean", 1, 1)
@@ -220,6 +231,15 @@ class FS2Dataset:
         }
         for b, (_name, _spk, _sid, seq) in enumerate(entries):
             l = min(len(seq), L)
+            if min(int(dur_lens[b]), L) != l:
+                # same contract as _item_from_entry: a shorter id sequence
+                # means unknown symbols were silently dropped — refuse to
+                # train on misaligned targets
+                raise ValueError(
+                    f"{names[b][0]}/{names[b][1]}: phoneme sequence has "
+                    f"{len(seq)} ids but duration target has "
+                    f"{int(dur_lens[b])} — unknown symbols in the metadata "
+                    "phones were dropped by text_to_sequence")
             batch["texts"][b, :l] = seq[:l]
             batch["src_lens"][b] = l
         return batch

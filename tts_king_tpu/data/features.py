@@ -93,6 +93,24 @@ def get_alignment(tier, sampling_rate: int, hop_length: int):
     return phones[:end_idx], durations[:end_idx], start_time, end_time
 
 
+_PHONE_VALID_CACHE: dict = {}
+
+
+def _invalid_phones(phones) -> set:
+    """Phones that do NOT map to exactly one symbol ID in the brace path."""
+    from tts_king_tpu.text import text_to_sequence
+
+    bad = set()
+    for p in phones:
+        ok = _PHONE_VALID_CACHE.get(p)
+        if ok is None:
+            ok = len(text_to_sequence("{" + p + "}", [])) == 1
+            _PHONE_VALID_CACHE[p] = ok
+        if not ok:
+            bad.add(p)
+    return bad
+
+
 def _phoneme_average(values: np.ndarray, durations) -> np.ndarray:
     """Average frame-level values into phoneme bins (preprocessor.py:236-243)."""
     out = np.zeros(len(durations), dtype=np.float64)
@@ -310,6 +328,19 @@ class Preprocessor:
                     tg.get_tier_by_name("phones"), self.sr, self.hop)
                 if start >= end or not phones:
                     continue
+                bad = _invalid_phones(phones)
+                if bad:
+                    # Fail loudly: text_to_sequence silently DROPS symbols
+                    # it doesn't know (keithito parser semantics the
+                    # reference inherits), which would misalign the phoneme
+                    # sequence against the per-phone duration/pitch/energy
+                    # targets saved below — a silent training-data
+                    # corruption, not a recoverable condition.
+                    raise ValueError(
+                        f"{tg_path}: phones {sorted(bad)} are not in the "
+                        "symbol table (text/symbols.py); they would be "
+                        "silently dropped by text_to_sequence and misalign "
+                        "text vs duration targets")
                 wav = load_wav(os.path.join(sdir, wav_name), self.sr)
                 wav = wav[int(self.sr * start) : int(self.sr * end)]
                 lab_path = os.path.join(sdir, basename + ".lab")

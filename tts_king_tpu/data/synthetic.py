@@ -23,7 +23,11 @@ VOWELS = {
     "O": (500, 900),
     "U": (350, 700),
     "I": (300, 2300),
-    "E": (500, 1900),
+    # "E0", not "E": the symbol table has stressed E0 but no bare E (unlike
+    # A/O/U/I/Y) — a bare E was silently dropped by text_to_sequence,
+    # misaligning text vs duration targets for every utterance containing
+    # it (caught by the Preprocessor phone validation, round 5)
+    "E0": (500, 1900),
     "Y": (420, 1600),
 }
 CONSONANTS = {
@@ -42,7 +46,8 @@ CONSONANTS = {
     "R": (700, 900, True),
     "L": (450, 700, True),
     "V": (1000, 1400, True),
-    "J": (2800, 1800, True),
+    # "J0", not "J": like E0 above — the table has palatal J0, no bare J
+    "J0": (2800, 1800, True),
 }
 
 
