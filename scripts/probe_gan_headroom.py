@@ -1,0 +1,357 @@
+#!/usr/bin/env python
+"""Bound the GAN-step residual headroom experimentally (VERDICT r4 item 5).
+
+DESIGN 3.10 previously *estimated* <1.3x residual headroom for the
+discriminator side of the GAN train step (the gap between 0.22 train MFU
+and 0.64 inference MFU). This probe measures the three candidate
+relowerings the estimate hand-waved over, at the production pair-batched
+shapes (B=32 = y ++ y_hat, scale-0 T=8192), bf16:
+
+  A. MPD period-stacking — all 5 period branches as ONE padded 2D conv
+     program: every branch padded to the max spatial extent
+     (T/2 x 11) and block-diag channel-stacked (feature_group_count=5).
+     Padding waste is sum(T/p_i x p_i) / (5 x T/2 x 11) = 18% useful.
+  B. MSD pooled-scale fusion — scales 2 (T=4096) and 3 (T=2048, padded to
+     4096) fused per layer: channels x2, groups x2 (block-diag pairs),
+     re-packed with the production pack-128 lowering. One program instead
+     of two; +33% nominal T-padding on the scale-3 half.
+  C. wgrad-targeted lowering — the weight gradient of the dominant k=41
+     layers re-expressed as K shift-matmuls (scan over kernel taps, each a
+     (I x B.T_out)@(B.T_out x O) dot at full MXU depth) vs what XLA
+     autodiff emits for the production lowering.
+
+Each experiment reports current-vs-candidate sustained ms (scan-differenced
+like probe_groupconv_lowering.py) and the verdict feeds the DESIGN 3.10
+headroom table. Writes results/gan_headroom.jsonl.
+"""
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+
+
+def scan_diff(body, *args, ka=2, kb=10, reps=4):
+    import jax
+    import jax.numpy as jnp
+
+    def steps(k):
+        @jax.jit
+        def run(*a):
+            def b(c, _):
+                return body(c, *a), None
+            c, _ = jax.lax.scan(b, jnp.float32(0), None, length=k)
+            return c
+        return run
+
+    fa, fb = steps(ka), steps(kb)
+    float(fa(*args)); float(fb(*args))
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter(); float(fa(*args)); ta = time.perf_counter() - t0
+        t0 = time.perf_counter(); float(fb(*args)); tb = time.perf_counter() - t0
+        per = (tb - ta) / (kb - ka)
+        best = per if best is None else min(best, per)
+    return best
+
+
+def block_diag_kernel(w, groups, target_groups=1):
+    """Same packing as probe_groupconv_lowering.py (production lowering)."""
+    import jax.numpy as jnp
+
+    k, cig, cout = w.shape
+    pack = groups // target_groups
+    cog = cout // groups
+    wr = w.reshape(k, cig, target_groups, pack, cog)
+    eye = jnp.eye(pack, dtype=w.dtype)
+    dense = jnp.einsum("kctpo,qp->ktqcpo", wr, eye)
+    dense = dense.reshape(k, target_groups, pack * cig, pack * cog)
+    return dense.transpose(0, 2, 1, 3).reshape(k, pack * cig, cout)
+
+
+def conv1d(x, w, stride, pad, fg=1):
+    import jax
+
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
+                                        ("NHC", "HIO", "NHC"))
+    return jax.lax.conv_general_dilated(
+        x, w, (stride,), [(pad, pad)], dimension_numbers=dn,
+        feature_group_count=fg)
+
+
+def conv2d(x, w, stride, pad, fg=1):
+    import jax
+
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(
+        x, w, (stride, 1), [(pad, pad), (0, 0)], dimension_numbers=dn,
+        feature_group_count=fg)
+
+
+# ---------------------------------------------------------------- A: MPD
+
+def exp_mpd_stack(B=32, T=8192, dt=None):
+    """5 separate period branches (production) vs one padded channel-stacked
+    program. Conv stack per branch: 1->32->128->512->1024->1024 k(5,1)
+    s(3,1) + 1024->1024 k(5,1) s1 + ->1 k(3,1) (models/hifigan.py:427-461).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    dt = dt or jnp.bfloat16
+    periods = (2, 3, 5, 7, 11)
+    chans = [1, 32, 128, 512, 1024, 1024, 1]
+    kernels = [5, 5, 5, 5, 5, 3]
+    strides = [3, 3, 3, 3, 1, 1]
+    pads = [2, 2, 2, 2, 2, 1]
+    rng = np.random.RandomState(0)
+
+    def branch(h, ws, fg=1):
+        for i, w in enumerate(ws):
+            h = conv2d(h, w, strides[i], pads[i], fg=fg)
+            h = jax.nn.leaky_relu(h, 0.1)
+        return h
+
+    def make_ws():
+        return [jnp.asarray(rng.randn(kernels[i], 1, chans[i],
+                                      chans[i + 1]) * 0.02, dt)
+                for i in range(6)]
+
+    # --- separate branches (production semantics)
+    xs = []
+    for p in periods:
+        tp = math.ceil(T / p)
+        xs.append(jnp.asarray(rng.randn(B, tp, p, 1), dt))
+    ws_sep = [make_ws() for _ in periods]
+
+    def sep_body(c, xs_, ws_):
+        def loss(ws_flat):
+            tot = 0.0
+            for x, ws in zip(xs_, ws_flat):
+                o = branch(x + c.astype(dt) * 1e-30, ws)
+                tot += jnp.sum(o.astype(jnp.float32) ** 2)
+            return tot
+        l, g = jax.value_and_grad(loss)(ws_)
+        return c + l * 1e-12 + g[0][0].ravel()[0].astype(jnp.float32) * 1e-12
+
+    t_sep = scan_diff(sep_body, xs, ws_sep, ka=1, kb=5)
+
+    # --- stacked: pad every branch to (T/2, 11), block-diag channels x5
+    # (feature_group_count=5, one conv group per period branch; kernel
+    # out-axis is group-major so a plain concat of the per-branch kernels
+    # is the exact block-diag form).
+    tp_max = math.ceil(T / 2)
+    xstk = jnp.zeros((B, tp_max, 11, 5), dt)
+    for j, p in enumerate(periods):
+        tp = math.ceil(T / p)
+        xstk = xstk.at[:, :tp, :p, j].set(xs[j][..., 0])
+    ws_stk = [jnp.concatenate([ws_sep[j][i] for j in range(5)], axis=-1)
+              for i in range(6)]
+
+    def stk_body(c, x_, ws_):
+        def loss(ws_flat):
+            o = branch(x_ + c.astype(dt) * 1e-30, ws_flat, fg=5)
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+        l, g = jax.value_and_grad(loss)(ws_)
+        return c + l * 1e-12 + g[0].ravel()[0].astype(jnp.float32) * 1e-12
+
+    t_stk = scan_diff(stk_body, xstk, ws_stk, ka=1, kb=5)
+    useful = sum(math.ceil(T / p) * p for p in periods)
+    return {
+        "exp": "A_mpd_period_stack",
+        "separate_ms": round(t_sep * 1e3, 3),
+        "stacked_ms": round(t_stk * 1e3, 3),
+        "speedup": round(t_sep / t_stk, 3),
+        "useful_fraction_stacked": round(useful / (5 * tp_max * 11), 3),
+    }
+
+
+# ---------------------------------------------------------------- B: MSD
+
+# (in_ch, out_ch, kernel, stride, groups, T at scale-2 input 4096), with the
+# production pack-128 lowering choice per layer (models/hifigan.py:494).
+MSD_LAYERS = [
+    (1, 128, 15, 1, 1, 4096, None),
+    (128, 128, 41, 2, 4, 4096, 1),
+    (128, 256, 41, 2, 16, 2048, 1),
+    (256, 512, 41, 4, 16, 1024, 2),
+    (512, 1024, 41, 4, 16, 256, 4),
+    (1024, 1024, 41, 1, 16, 64, None),   # native grouped
+    (1024, 1024, 5, 1, 1, 64, None),
+]
+
+
+def exp_msd_scale_fusion(B=32, dt=None, t_div=1):
+    """Scales 2+3 per layer: separate (T and T/2) vs fused (channels x2,
+    groups x2, T padded to scale-2's, block-diag pairs re-packed with the
+    SAME pack-128 target the production lowering uses)."""
+    import jax
+    import jax.numpy as jnp
+
+    dt = dt or jnp.bfloat16
+    rng = np.random.RandomState(1)
+    rows = []
+    for ci, co, k, s, g, t2, tg in MSD_LAYERS:
+        t2 = max(t2 // t_div, 4 * s)
+        t3 = t2 // 2
+        x2 = jnp.asarray(rng.randn(B, t2, ci), dt)
+        x3 = jnp.asarray(rng.randn(B, t3, ci), dt)
+        w2 = jnp.asarray(rng.randn(k, ci // g, co) * 0.02, dt)
+        w3 = jnp.asarray(rng.randn(k, ci // g, co) * 0.02, dt)
+
+        def lower(w, groups, target):
+            if target is None:
+                return w, groups
+            return block_diag_kernel(w, groups, target), target
+
+        def sep_body(c, x2_, x3_, w2_, w3_):
+            def loss(ws):
+                wa, fga = lower(ws[0], g, tg)
+                wb, fgb = lower(ws[1], g, tg)
+                o2 = conv1d(x2_ + c.astype(dt) * 1e-30, wa, s, k // 2, fga)
+                o3 = conv1d(x3_ + c.astype(dt) * 1e-30, wb, s, k // 2, fgb)
+                return (jnp.sum(o2.astype(jnp.float32) ** 2)
+                        + jnp.sum(o3.astype(jnp.float32) ** 2))
+            l, gr = jax.value_and_grad(loss)([w2_, w3_])
+            return c + l * 1e-12 + gr[0].ravel()[0].astype(jnp.float32) * 1e-12
+
+        t_sep = scan_diff(sep_body, x2, x3, w2, w3, ka=1, kb=5)
+
+        # fused: x = concat over channel ((B, t2, 2*ci)), scale-3 zero-padded
+        xf = jnp.concatenate(
+            [x2, jnp.pad(x3, ((0, 0), (0, t2 - t3), (0, 0)))], axis=-1)
+        # grouped kernel of the fused conv: 2g groups, per-group shape same
+        wf = jnp.concatenate([w2, w3], axis=-1)  # (k, ci//g, 2co) g-major? no:
+        # build properly: fused grouped kernel has groups [scale2 g groups,
+        # scale3 g groups] -> (k, ci//g, 2*co) with scale2's out channels
+        # first. concat over out-channel axis does exactly that.
+        fused_g = 2 * g
+        fused_tg = None if tg is None else 2 * tg
+
+        def fus_body(c, x_, w_):
+            def loss(ww):
+                wl, fg = lower(ww, fused_g, fused_tg)
+                o = conv1d(x_ + c.astype(dt) * 1e-30, wl, s, k // 2, fg)
+                return jnp.sum(o.astype(jnp.float32) ** 2)
+            l, gr = jax.value_and_grad(loss)(w_)
+            return c + l * 1e-12 + gr.ravel()[0].astype(jnp.float32) * 1e-12
+
+        t_fus = scan_diff(fus_body, xf, wf, ka=1, kb=5)
+        rows.append({
+            "exp": "B_msd_scale23_fusion",
+            "shape": f"{ci}->{co} k{k} s{s} g{g} T{t2}+{t3}",
+            "lowering": f"pack_g{tg}" if tg else "native",
+            "separate_ms": round(t_sep * 1e3, 3),
+            "fused_ms": round(t_fus * 1e3, 3),
+            "speedup": round(t_sep / max(t_fus, 1e-9), 3),
+        })
+        print(json.dumps(rows[-1]), flush=True)
+    return rows
+
+
+# -------------------------------------------------------------- C: wgrad
+
+def exp_wgrad_shift_matmul(B=32, dt=None, t_div=1):
+    """wgrad of the dominant k=41 layers: XLA autodiff of the production
+    lowering vs an explicit K-shift-matmul formulation (scan over taps,
+    each tap one deep dot at full MXU lane depth)."""
+    import jax
+    import jax.numpy as jnp
+
+    dt = dt or jnp.bfloat16
+    rng = np.random.RandomState(2)
+    rows = []
+    # the two layers where wgrad dominates under the production lowering
+    # (results/groupconv_lowering.jsonl): dense-lowered so wgrad is a dense
+    # (K, Ci, Co) gradient either way
+    for ci, co, k, s, g, t, tg in [
+        (128, 128, 41, 2, 4, 8192, 1),
+        (128, 256, 41, 2, 16, 4096, 1),
+        (256, 512, 41, 4, 16, 2048, 2),
+    ]:
+        t = max(t // t_div, 8 * s)
+        x = jnp.asarray(rng.randn(B, t, ci), dt)
+        w = jnp.asarray(rng.randn(k, ci // g, co) * 0.02, dt)
+        t_out = t // s
+
+        def xla_wgrad_body(c, x_, w_):
+            def loss(ww):
+                wl = block_diag_kernel(ww, g, tg)
+                o = conv1d(x_ + c.astype(dt) * 1e-30, wl, s, k // 2,
+                           tg)
+                return jnp.sum(o.astype(jnp.float32) ** 2)
+            l, gr = jax.value_and_grad(loss)(w_)
+            return c + l * 1e-12 + gr.ravel()[0].astype(jnp.float32) * 1e-12
+
+        t_xla = scan_diff(xla_wgrad_body, x, w, ka=1, kb=5)
+
+        # custom: fwd in the production lowering; wgrad(dense block form) as
+        # a scan over the K taps. dy comes from the same loss (2*o). The
+        # packed group structure (tg blocks) is kept: per block, tap wgrad =
+        # x_blk[b, t*s + tap - pad, :].T @ dy_blk[b, t, :] over (b, t).
+        cig = ci // tg if tg else ci // g
+        cog = co // tg if tg else co // g
+
+        def shift_wgrad_body(c, x_, w_):
+            wl = block_diag_kernel(w_, g, tg)
+            xi = x_ + c.astype(dt) * 1e-30
+            o = conv1d(xi, wl, s, k // 2, tg)
+            dy = (2.0 * o.astype(jnp.float32)).astype(dt)
+            xp = jnp.pad(xi, ((0, 0), (k // 2, k // 2), (0, 0)))
+            xb = xp.reshape(B, -1, tg, cig)
+            dyb = dy.reshape(B, t_out, tg, cog)
+
+            def tap(carry, tap_i):
+                sl = jax.lax.dynamic_slice_in_dim(xb, tap_i, (t_out - 1) * s + 1,
+                                                  axis=1)
+                sl = sl[:, ::s]
+                gtap = jnp.einsum("btgi,btgo->gio", sl, dyb,
+                                  preferred_element_type=jnp.float32)
+                return carry + jnp.sum(gtap), None
+
+            tot, _ = jax.lax.scan(tap, jnp.float32(0), jnp.arange(k))
+            return c + tot * 1e-12
+
+        t_shift = scan_diff(shift_wgrad_body, x, w, ka=1, kb=5)
+        rows.append({
+            "exp": "C_wgrad_shift_matmul",
+            "shape": f"{ci}->{co} k{k} s{s} g{g} T{t} pack_g{tg}",
+            "fwd_plus_xla_wgrad_ms": round(t_xla * 1e3, 3),
+            "fwd_plus_shift_wgrad_ms": round(t_shift * 1e3, 3),
+            "speedup": round(t_xla / max(t_shift, 1e-9), 3),
+        })
+        print(json.dumps(rows[-1]), flush=True)
+    return rows
+
+
+def main():
+    tiny = "--tiny" in sys.argv  # CPU shape-check: tiny sizes, no file write
+    rows = []
+    r = exp_mpd_stack(B=2, T=1024) if tiny else exp_mpd_stack()
+    print(json.dumps(r), flush=True)
+    rows.append(r)
+    rows += (exp_msd_scale_fusion(B=2, t_div=8) if tiny
+             else exp_msd_scale_fusion())
+    rows += (exp_wgrad_shift_matmul(B=2, t_div=8) if tiny
+             else exp_wgrad_shift_matmul())
+    if tiny:
+        return
+    os.makedirs("results", exist_ok=True)
+    with open("results/gan_headroom.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+if __name__ == "__main__":
+    main()

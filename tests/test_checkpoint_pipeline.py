@@ -76,6 +76,7 @@ def test_ttsking_from_reference_checkpoints(tmp_path):
     assert wavs.dtype == np.int16
 
 
+@pytest.mark.slow
 def test_cwt_mode_training_step():
     """Gradients flow through the CWT pitch path (11-ch predictor, scalar
     heads, in-graph inverse CWT) without NaNs."""

@@ -46,6 +46,7 @@ def test_flash_attention_matches_xla_fwd_and_grad(B, H, T, D):
                                    rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_train_step_with_flash_attention_matches():
     """One full tiny train step, flash vs XLA attention: same loss to f32
     reassociation tolerance (the two formulations differ only in softmax

@@ -15,6 +15,7 @@ Regenerate consciously with scripts/make_golden_e2e.py (CPU f32 — the
 frozen outputs are platform-tied to the test env).
 """
 
+import pytest
 import os
 
 import numpy as np
@@ -66,6 +67,7 @@ def micro_config(fixture_dir=FIXTURE_DIR, raw_path="/tmp/golden_e2e/raw",
     )
 
 
+@pytest.mark.slow
 def test_golden_e2e_speak():
     from tts_king_tpu.pipeline import TTSKing
 

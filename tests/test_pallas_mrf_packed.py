@@ -96,6 +96,7 @@ def test_generator_fused_backend_matches_xla(tiny_generator):
     assert rel < 1e-5, rel
 
 
+@pytest.mark.slow
 def test_generator_int8_backend_snr(tiny_generator):
     """int8 vocoder parity: waveform SNR vs the f32 path must clear an
     audible-noise bound (VERDICT round-1 item #8)."""

@@ -21,9 +21,14 @@ import tests.conftest as cf
 from tests.det_weights import det_state_dict
 from tests.oracle_util import run_oracle
 
-pytestmark = pytest.mark.skipif(
-    not cf.oracle_available(),
-    reason="reference tree not mounted and no oracle recordings")
+# Slow tier (the [eval]+[train] pair costs ~2 min on a 1-core box); run
+# directly with:  pytest tests/test_parity_discriminators.py -m ""
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not cf.oracle_available(),
+        reason="reference tree not mounted and no oracle recordings"),
+]
 
 DET_SEED = 11
 T = 2048

@@ -70,6 +70,7 @@ def test_cwt_mode_parity():
                                    rtol=1e-3, atol=3e-4)
 
 
+@pytest.mark.slow
 def test_longer_than_max_seq_len_parity():
     """Encoder L and decoder T beyond max_seq_len at eval: the sinusoid
     tables are regenerated on the fly; outputs must still match."""

@@ -27,6 +27,11 @@ import tests.conftest as cf
 from tests.det_weights import det_state_dict
 from tests.oracle_util import run_oracle
 
+# Slow tier: full-size (shipped-dims) parity is the heavyweight cross-check
+# of the fast tier's small-shape parity tests (test_parity_fs2.py etc.).
+# Run directly with:  pytest tests/test_parity_fullsize.py -m ""
+pytestmark = pytest.mark.slow
+
 pytestmark = pytest.mark.skipif(
     not cf.oracle_available(),
     reason="reference tree not mounted and no oracle recordings")

@@ -105,6 +105,7 @@ def test_pipeline_generate_long():
                          - full[edge:-edge].astype(np.int32))) <= 1
 
 
+@pytest.mark.slow
 def test_time_sharded_melgan_matches_full_pass():
     """The MelGAN generator (reflect-padded resnet stacks, dilations 3^j)
     has a ~10-mel-frame one-sided receptive field — smaller than the

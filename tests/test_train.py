@@ -159,6 +159,7 @@ def test_train_step_runs_and_learns():
     assert float(losses.total) < losses0
 
 
+@pytest.mark.slow
 def test_train_step_sharded_dp_tp():
     import jax
 

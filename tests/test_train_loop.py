@@ -65,6 +65,7 @@ def test_train_and_resume(env):
     assert int(state2.step) == 3
 
 
+@pytest.mark.slow
 def test_train_on_mesh_and_resume_across_mesh_change(env, tmp_path):
     """Full train() driver over the virtual 8-device mesh (not just the
     train_step), then resume the checkpoint under a different mesh shape

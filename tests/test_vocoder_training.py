@@ -31,6 +31,7 @@ def trainer_and_state():
     return cfg, tr, state
 
 
+@pytest.mark.slow
 def test_gan_step_runs_and_learns(trainer_and_state):
     import jax
 
@@ -58,6 +59,7 @@ def test_gan_step_runs_and_learns(trainer_and_state):
     assert float(losses.mel_l1) < mel_l1_first, "generator did not improve"
 
 
+@pytest.mark.slow
 def test_weight_norm_export_matches_inference(trainer_and_state):
     import jax
     import jax.numpy as jnp
@@ -99,6 +101,7 @@ def test_mel_dataset_segments(tmp_path):
     assert b["mel_loss"].shape == (2, frames, cfg.num_mels)
 
 
+@pytest.mark.slow
 def test_gan_step_sharded_equals_unsharded(trainer_and_state):
     """DP over the virtual 8-device mesh changes nothing numerically: one
     GAN step on a dp-sharded batch with replicated params bit-matches the
@@ -199,6 +202,7 @@ def test_msd_blockdiag_lowering_matches_native():
         np.testing.assert_allclose(a, n, rtol=2e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_gan_step_bf16_compute_matches_f32():
     """bf16 compute-dtype GAN step (the TPU training fast path): same
     params, same batch — losses must be finite and track the f32 step
