@@ -110,6 +110,12 @@ def main():
 
     from tts_king_tpu.train.loop import train
 
+    # The metrics logger appends; a stale file from a previous run with the
+    # same --root would prepend its rows to the parsed curve below.
+    stale = os.path.join(cfg.train.result_path, "validate.metrics.jsonl")
+    if os.path.exists(stale):
+        os.remove(stale)
+
     train(cfg, max_steps=args.steps, use_mesh=False)
 
     def _duration_baselines(cfg, max_utts=16):

@@ -96,6 +96,13 @@ def main():
 
     import jax.numpy as jnp
 
+    # The metrics logger appends; a stale file from a previous run with the
+    # same --root would prepend its rows to the parsed curve below.
+    stale = os.path.join(cfg.train.result_path,
+                         "validate_voc_vocoder.metrics.jsonl")
+    if os.path.exists(stale):
+        os.remove(stale)
+
     train_vocoder(cfg, wavs, max_steps=args.steps,
                   log_every=args.log_every, save_every=max(args.steps, 1),
                   compute_dtype=jnp.bfloat16 if args.dtype == "bf16" else None)
