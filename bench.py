@@ -40,6 +40,43 @@ def _timeit(fn, *args, iters=8):
     return (time.perf_counter() - t0) / iters
 
 
+def _spread_fields(per_call_secs):
+    """Variance-protocol fields (VERDICT r4 item 8): median/IQR/min of the
+    repeated measurements, in ms, plus the repeat count — so a future
+    regression is distinguishable from session noise without a prose note."""
+    s = np.sort(np.asarray(per_call_secs, np.float64)) * 1e3
+    q1, q3 = np.percentile(s, [25, 75])
+    return {"median_ms": round(float(np.median(s)), 2),
+            "iqr_ms": round(float(q3 - q1), 2),
+            "min_ms": round(float(s[0]), 2),
+            "repeats": int(len(s))}
+
+
+def _sustained_scan_diff(steps_fn, args, ka=1, kb=5, repeats=5):
+    """Sustained per-step seconds via scan differencing, under the pinned
+    variance protocol: compile/warm both K-step executables once, then take
+    `repeats` interleaved (K=ka, K=kb) pairs; each pair yields
+    (t_kb - t_ka)/(kb - ka). Returns (median_sec, spread_fields).
+
+    Scan differencing cancels the remote-relay dispatch/fetch overhead that
+    otherwise dominates per-call host timing (DESIGN.md "Where the train
+    step time goes"); the median-of-5 with IQR replaces the old min-of-3 so
+    rows carry their own spread."""
+    fa, fb = steps_fn(ka), steps_fn(kb)
+    float(fa(*args))
+    float(fb(*args))
+    per = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(fa(*args))
+        ta = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(fb(*args))
+        tb = time.perf_counter() - t0
+        per.append((tb - ta) / (kb - ka))
+    return float(np.median(per)), _spread_fields(per)
+
+
 # Peak dense bf16 matmul rate per chip (for the MFU estimate).
 _PEAK_BF16_FLOPS = {
     "TPU v4": 275e12,
@@ -285,25 +322,11 @@ def bench_train_step(cfg, fs2, fs2_vars):
         return run
 
     rngk = jax.random.PRNGKey(0)
-    ka, kb = 1, 5
-    fa, fb = steps_fn(ka), steps_fn(kb)
-    float(fa(state, superbatch, rngk))
-    float(fb(state, superbatch, rngk))
-    best = None
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(fa(state, superbatch, rngk))
-        ta = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        float(fb(state, superbatch, rngk))
-        tb = time.perf_counter() - t0
-        per = (tb - ta) / (kb - ka)
-        best = per if best is None else min(best, per)
-    sec = best
+    sec, spread = _sustained_scan_diff(steps_fn, (state, superbatch, rngk))
 
     out = {"metric": "fs2_train_step", "value": round(sec * 1e3, 1),
            "unit": "ms_per_optimizer_step_bs16x4_sustained",
-           "vs_baseline": None}
+           "vs_baseline": None, **spread}
     # XLA's cost analysis counts a scan body once regardless of trip count,
     # so derive true per-step FLOPs from an acc=1 superbatch (its scan runs
     # exactly once) scaled by the accumulation factor.
@@ -362,29 +385,15 @@ def bench_vocoder_train_step(cfg):
             return tot
         return run
 
-    ka, kb = 1, 5
-    fa, fb = steps_fn(ka), steps_fn(kb)
-    float(fa(state, batch))
-    float(fb(state, batch))
-    best = None
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(fa(state, batch))
-        ta = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        float(fb(state, batch))
-        tb = time.perf_counter() - t0
-        per = (tb - ta) / (kb - ka)
-        best = per if best is None else min(best, per)
-    sec = best
+    sec, spread = _sustained_scan_diff(steps_fn, (state, batch))
 
     out = {"metric": "hifigan_train_step", "value": round(sec * 1e3, 1),
            "unit": "ms_per_step_bs16_seg8192_sustained", "vs_baseline": None,
-           "compute_dtype": "bfloat16"}
+           "compute_dtype": "bfloat16", **spread}
     # The K=1 scan body runs exactly once, so its cost analysis IS one
     # step — but the block-diag lowering pads it with structural zeros;
     # report that as nominal and compute MFU on the useful count.
-    nominal = _cost_flops(fa, state, batch)
+    nominal = _cost_flops(steps_fn(1), state, batch)
     if nominal:
         out["nominal_tflops_compiled"] = round(nominal / 1e12, 2)
     out.update(_mfu_fields(_GAN_STEP_USEFUL_FLOPS, sec))
